@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Local sandbox runs on local[N] (single JVM); on a real cluster the
+same confs apply per-executor and the Iceberg catalog confs are added
+by spark-submit --conf. Everything here is plain Apache Spark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "kgc",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the pipeline's standard confs.
+
+    * AQE on (runtime coalesce + skew-join splitting) — the north rule
+      requires explicit skew handling; AQE covers joins, kgc.canon adds
+      salting for aggregation-side skew.
+    * Arrow on — every Python-side stage is an Arrow-batched pandas UDF.
+    * shuffle partitions sized to the sandbox (32 cores); on a real
+      cluster pass ~2-3x total executor cores.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%d]" % _cpus())
+    nparts = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nparts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _cpus() -> int:
+    try:
+        n = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+        if n > 0:
+            return n
+    except ValueError:
+        pass
+    return os.cpu_count() or 8

@@ -1,0 +1,92 @@
+"""Parser tests: span-sequence invariant (kind, text, media_ref, order).
+
+Mirrors the reference's parser tests (internal/parser/parser_test.go:8-36)
+plus the golden fixture round-trip on the committed transcript.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from kgc.parsers import (
+    content_from_spans,
+    parse_html_py,
+    parse_markdown_py,
+    parse_text_py,
+    text_to_spans,
+)
+
+FIXTURE = pathlib.Path("/root/reference/test/analyzed_transcription.txt")
+
+
+class TestTextPy:
+    def test_one_paragraph_per_line(self):
+        spans = parse_text_py("Ligne 1\nLigne 2\n\nLigne 4\n")
+        assert [s["text"] for s in spans] == ["Ligne 1", "Ligne 2", "", "Ligne 4"]
+        assert all(s["kind"] == "paragraph" for s in spans)
+        assert [s["offset"] for s in spans] == [0, 1, 2, 3]
+
+    def test_no_trailing_phantom_line(self):
+        assert len(parse_text_py("a\n")) == 1
+        assert len(parse_text_py("a")) == 1
+        assert parse_text_py("") == []
+
+    def test_crlf(self):
+        assert [s["text"] for s in parse_text_py("a\r\nb\r\n")] == ["a", "b"]
+
+
+class TestTextSpark:
+    def test_matches_python(self, spark):
+        texts = ["Ligne 1\nLigne 2\n\nL4\n", "a", "a\n", "", "a\r\nb"]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        rows = df.select(text_to_spans("t").alias("spans")).collect()
+        for t, r in zip(texts, rows):
+            got = [s.asDict() for s in r["spans"]]
+            assert got == parse_text_py(t), repr(t)
+
+    def test_fixture_roundtrip(self, spark):
+        """Span-sequence invariant on the committed reference fixture,
+        plus Content reassembly (text.go:22: content = each line + '\\n')."""
+        text = FIXTURE.read_text(encoding="utf-8")
+        df = spark.createDataFrame([(text,)], "t string").select(
+            text_to_spans("t").alias("spans")
+        )
+        row = df.select(
+            "spans", content_from_spans("spans").alias("content")
+        ).collect()[0]
+        expected = parse_text_py(text)
+        got = [s.asDict() for s in row["spans"]]
+        assert got == expected
+        # Content invariant
+        want_content = "".join(s["text"] + "\n" for s in expected)
+        assert row["content"] == want_content
+
+
+class TestMarkdown:
+    def test_heading_paragraph_order(self):
+        md = "# Titre\n\nUn paragraphe.\n\n## Sous-titre\n\nDeux\nlignes.\n"
+        spans = parse_markdown_py(md)
+        assert [(s["kind"], s["text"]) for s in spans] == [
+            ("heading", "Titre"),
+            ("paragraph", "Un paragraphe."),
+            ("heading", "Sous-titre"),
+            ("paragraph", "Deuxlignes."),  # goldmark Text() concatenates segments
+        ]
+        assert [s["offset"] for s in spans] == [0, 1, 2, 3]
+
+
+class TestHTML:
+    def test_postorder_and_direct_text(self):
+        html = "<html><head></head><body><p>Un <b>gras</b> mot</p></body></html>"
+        spans, content = parse_html_py(html)
+        kinds = [s["kind"] for s in spans]
+        # post-order: b before p, p before body, body before html
+        assert kinds.index("b") < kinds.index("p") < kinds.index("body")
+        p = next(s for s in spans if s["kind"] == "p")
+        assert p["text"] == "Un  mot"  # direct text only, not <b>'s
+        assert content == "Un gras mot"
+
+    def test_implied_wrappers(self):
+        spans, _ = parse_html_py("<p>x</p>")
+        kinds = [s["kind"] for s in spans]
+        assert "html" in kinds and "body" in kinds and "head" in kinds
