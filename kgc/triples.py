@@ -1,0 +1,373 @@
+"""Triple materialization — the relational form of the JSON-LD @graph.
+
+E3a-h normalization (reference: internal/jsonld/converter.go:250-369)
+re-expressed as ONE Catalyst projection: each segment row builds an
+array<struct<subj,pred,obj,obj_type>> of all its triples, exploded once.
+No unions, no re-scans, no Python — a single narrow whole-stage-codegen
+pass, which is the shape you want at 10^12 rows.
+
+Blank-node ids are path-deterministic (`seg:{doc}#{seg}/{pred}/{i}`) and
+match kgc.golden.flatten_node exactly, so P/R evaluation is a plain join.
+
+Normalization rules mirrored:
+  * mentions/locations → Person/Place nodes; description only if non-empty
+    (converter.go:252-289)
+  * events → Event nodes; participants passthrough list; date→startDate if
+    non-empty, NOT validated (converter.go:290-314)
+  * timeline → ItemList→ListItem(position=i+1)→Event; emitted even when
+    the raw list is empty (converter.go:315-339)
+  * keywords → drop empties, join ', ' (converter.go:340-351)
+  * datePublished → only if isValidDate (converter.go:352-355, 377-380)
+  * author → Person node (converter.go:356-362)
+  * default → strings kept if non-empty; structured values flattened
+    generically (converter.go:363-369)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw (pre-normalization) per-segment property payload — what the
+# reference's extractProperties parses out of the LLM response.
+PROPS_SCHEMA = T.StructType(
+    [
+        T.StructField("abstract", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("genre", T.StringType()),
+        T.StructField("keywords", T.ArrayType(T.StringType())),
+        T.StructField(
+            "mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("description", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "locations",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("description", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "events",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("description", T.StringType()),
+                        T.StructField("date", T.StringType()),
+                        T.StructField("participants", T.ArrayType(T.StringType())),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "timeline",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("description", T.StringType()),
+                        T.StructField("date", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "mainEntity",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("description", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "isPartOf",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "citation",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("author", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("author", T.StringType()),
+        T.StructField("datePublished", T.StringType()),
+    ]
+)
+
+TRIPLE_STRUCT = (
+    "struct<subj:string,pred:string,obj:string,obj_type:string>"
+)
+
+_S = F.lit
+
+
+def valid_date(c: Column) -> Column:
+    """isValidDate (converter.go:377-380) — to_date with strict pattern."""
+    return c.isNotNull() & F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).isNotNull() & c.rlike(
+        r"^\d{4}-\d{2}-\d{2}$"
+    )
+
+
+def _triple(subj: Column, pred, obj: Column, obj_type="literal") -> Column:
+    p = pred if isinstance(pred, Column) else _S(pred)
+    t = obj_type if isinstance(obj_type, Column) else _S(obj_type)
+    return F.struct(
+        subj.alias("subj"), p.alias("pred"), obj.alias("obj"), t.alias("obj_type")
+    )
+
+
+def _opt(cond: Column, *triples: Column) -> Column:
+    """Array of triples gated on a condition (empty array otherwise)."""
+    return F.when(cond, F.array(*triples)).otherwise(
+        F.array().cast(f"array<{TRIPLE_STRUCT}>")
+    )
+
+
+def _nonempty(c: Column) -> Column:
+    return c.isNotNull() & (c != "")
+
+
+def props_to_triples(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    seg_col: str = "seg_id",
+    main_type_col: str = "main_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """segments(doc_id, seg_id, main_type, props:PROPS_SCHEMA)
+       → triples(doc_id, seg_id, subj, pred, obj, obj_type)."""
+    doc = F.col(doc_col)
+    seg = F.col(seg_col).cast("int")
+    P = F.col(props_col)
+    subj = F.concat(_S("seg:"), doc, _S("#"), seg.cast("string"))
+    empty = F.array().cast(f"array<{TRIPLE_STRUCT}>")
+
+    def lit_prop(pred: str, col: Column, typed: Column | None = None) -> Column:
+        return _opt(
+            _nonempty(col),
+            _triple(subj, pred, col, typed if typed is not None else _S("literal")),
+        )
+
+    def person_place(pred: str, type_name: str) -> Column:
+        """E3a/E3b: array<{name,description}> → typed blank nodes."""
+        arr = F.coalesce(P[pred], F.array().cast(PROPS_SCHEMA[pred].dataType))
+        return F.coalesce(
+            F.flatten(
+                F.transform(arr, lambda m, i: _mention_triples(subj, pred, type_name, m, i))
+            ),
+            empty,
+        )
+
+    def _mention_triples(s: Column, pred: str, type_name: str, m: Column, i: Column) -> Column:
+        b = F.concat(s, _S("/"), _S(pred), _S("/"), i.cast("string"))
+        base = F.array(
+            _triple(s, pred, b, "node"),
+            _triple(b, "@type", _S(type_name)),
+        )
+        base = F.concat(
+            base,
+            F.when(_nonempty(m["name"]), F.array(_triple(b, "name", m["name"]))).otherwise(empty),
+            F.when(
+                _nonempty(m["description"]),
+                F.array(_triple(b, "description", m["description"])),
+            ).otherwise(empty),
+        )
+        return base
+
+    def events_triples() -> Column:
+        arr = F.coalesce(P["events"], F.array().cast(PROPS_SCHEMA["events"].dataType))
+        def one(e: Column, i: Column) -> Column:
+            b = F.concat(subj, _S("/events/"), i.cast("string"))
+            parts = F.array(
+                _triple(subj, "events", b, "node"),
+                _triple(b, "@type", _S("Event")),
+            )
+            parts = F.concat(
+                parts,
+                F.when(_nonempty(e["name"]), F.array(_triple(b, "name", e["name"]))).otherwise(empty),
+                F.when(
+                    _nonempty(e["description"]),
+                    F.array(_triple(b, "description", e["description"])),
+                ).otherwise(empty),
+                F.coalesce(
+                    F.transform(
+                        e["participants"], lambda pp: _triple(b, "participants", pp)
+                    ),
+                    empty,
+                ),
+                F.when(
+                    _nonempty(e["date"]),
+                    F.array(
+                        _triple(
+                            b,
+                            "startDate",
+                            e["date"],
+                            F.when(valid_date(e["date"]), _S("date")).otherwise(_S("literal")),
+                        )
+                    ),
+                ).otherwise(empty),
+            )
+            return parts
+        return F.coalesce(F.flatten(F.transform(arr, one)), empty)
+
+    def timeline_triples() -> Column:
+        # converter.go:315-339 — ItemList emitted whenever the raw key is
+        # present, even with zero items.
+        arr = P["timeline"]
+        b0 = F.concat(subj, _S("/timeline"))
+        def one(e: Column, i: Column) -> Column:
+            bl = F.concat(b0, _S("/itemListElement/"), i.cast("string"))
+            bi = F.concat(bl, _S("/item"))
+            parts = F.array(
+                _triple(b0, "itemListElement", bl, "node"),
+                _triple(bl, "@type", _S("ListItem")),
+                _triple(bl, "position", (i + 1).cast("string")),
+                _triple(bl, "item", bi, "node"),
+                _triple(bi, "@type", _S("Event")),
+            )
+            parts = F.concat(
+                parts,
+                F.when(_nonempty(e["name"]), F.array(_triple(bi, "name", e["name"]))).otherwise(empty),
+                F.when(
+                    _nonempty(e["description"]),
+                    F.array(_triple(bi, "description", e["description"])),
+                ).otherwise(empty),
+                F.when(
+                    _nonempty(e["date"]),
+                    F.array(
+                        _triple(
+                            bi,
+                            "startDate",
+                            e["date"],
+                            F.when(valid_date(e["date"]), _S("date")).otherwise(_S("literal")),
+                        )
+                    ),
+                ).otherwise(empty),
+            )
+            return parts
+        return F.when(
+            arr.isNotNull(),
+            F.concat(
+                F.array(
+                    _triple(subj, "timeline", b0, "node"),
+                    _triple(b0, "@type", _S("ItemList")),
+                ),
+                F.flatten(F.transform(arr, one)),
+            ),
+        ).otherwise(empty)
+
+    def struct_prop(pred: str, fields: list[str]) -> Column:
+        """E3h passthrough for object values (mainEntity, isPartOf)."""
+        o = P[pred]
+        b = F.concat(subj, _S("/"), _S(pred))
+        parts = F.array(_triple(subj, pred, b, "node"))
+        for f_name in fields:
+            parts = F.concat(
+                parts,
+                F.when(
+                    _nonempty(o[f_name]), F.array(_triple(b, f_name, o[f_name]))
+                ).otherwise(empty),
+            )
+        return F.when(o.isNotNull(), parts).otherwise(empty)
+
+    def citation_triples() -> Column:
+        arr = F.coalesce(P["citation"], F.array().cast(PROPS_SCHEMA["citation"].dataType))
+        def one(c: Column, i: Column) -> Column:
+            b = F.concat(subj, _S("/citation/"), i.cast("string"))
+            parts = F.array(_triple(subj, "citation", b, "node"))
+            for f_name in ("author", "text"):
+                parts = F.concat(
+                    parts,
+                    F.when(
+                        _nonempty(c[f_name]), F.array(_triple(b, f_name, c[f_name]))
+                    ).otherwise(empty),
+                )
+            return parts
+        return F.coalesce(F.flatten(F.transform(arr, one)), empty)
+
+    # keywords: filter '' then join ', ' (converter.go:340-351)
+    kws = F.filter(
+        F.coalesce(P["keywords"], F.array().cast("array<string>")), lambda k: k != ""
+    )
+    keywords_t = _opt(
+        F.size(kws) > 0, _triple(subj, "keywords", F.array_join(kws, ", "))
+    )
+
+    author_b = F.concat(subj, _S("/author"))
+    author_t = _opt(
+        _nonempty(P["author"]),
+        _triple(subj, "author", author_b, "node"),
+        _triple(author_b, "@type", _S("Person")),
+        _triple(author_b, "name", P["author"]),
+    )
+
+    all_triples = F.concat(
+        _opt(F.col(main_type_col).isNotNull(), _triple(subj, "@type", F.col(main_type_col))),
+        lit_prop("abstract", P["abstract"]),
+        lit_prop("description", P["description"]),
+        lit_prop("genre", P["genre"]),
+        keywords_t,
+        person_place("mentions", "Person"),
+        person_place("locations", "Place"),
+        events_triples(),
+        timeline_triples(),
+        struct_prop("mainEntity", ["name", "description"]),
+        struct_prop("isPartOf", ["name", "type"]),
+        citation_triples(),
+        author_t,
+        lit_prop(
+            "datePublished",
+            F.when(valid_date(P["datePublished"]), P["datePublished"]),
+            _S("date"),
+        ),
+    )
+
+    out = df.select(doc.alias("doc_id"), seg.alias("seg_id"), all_triples.alias("_t"))
+    out = (
+        out.select("doc_id", "seg_id", F.explode_outer("_t").alias("t"))
+        .filter(F.col("t").isNotNull())
+        .select(
+            "doc_id",
+            "seg_id",
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.obj_type").alias("obj_type"),
+        )
+    )
+    return out
+
+
+def dedup_triples(df: DataFrame) -> DataFrame:
+    """G7: global (subj,pred,obj) dedup — the one wide shuffle of the
+    emit stage; AQE coalesces the post-shuffle partitions."""
+    return df.dropDuplicates(["subj", "pred", "obj"])
+
+
+def parse_props_json(df: DataFrame, json_col: str = "props_json") -> DataFrame:
+    """Extraction-store JSON → typed props struct (permissive)."""
+    return df.withColumn("props", F.from_json(F.col(json_col), PROPS_SCHEMA))

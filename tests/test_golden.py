@@ -1,0 +1,138 @@
+"""Golden-fixture parity: the P/R ≥ 0.95 gate (BASELINE.json metric).
+
+End-to-end on the committed reference outputs:
+  fixture text → spans → segments (must yield exactly the @graph node
+  count) → replay extraction store join → E3a-h Spark normalization →
+  triples, compared against the flattened golden JSON-LD.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc.evaluate import precision_recall
+from kgc.golden import (
+    GOLDEN_FILES,
+    flatten_node,
+    load_golden_triples,
+    load_replay_store,
+    raw_props,
+)
+from kgc.parsers import text_to_spans
+from kgc.segment import segment_documents
+from kgc.triples import parse_props_json, props_to_triples
+
+TXT = "analyzed_transcription.txt"
+PDF = "jean1.pdf"
+
+TRIPLE_SCHEMA = (
+    "doc_id string, seg_id int, subj string, pred string, obj string, obj_type string"
+)
+
+
+def golden_df(spark, name):
+    return spark.createDataFrame(load_golden_triples(name), TRIPLE_SCHEMA)
+
+
+def replay_df(spark, name):
+    rows = load_replay_store(name)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["seg_id"], r["main_type"], r["props_json"]) for r in rows],
+        "doc_id string, seg_id int, main_type string, props_json string",
+    )
+
+
+class TestNormalizerRoundTrip:
+    """Spark E3 normalization of the raw (inverse-normalized) store must
+    reproduce the flattened golden triples EXACTLY, for both fixtures."""
+
+    @pytest.mark.parametrize("name", [TXT, PDF])
+    def test_exact_triple_parity(self, spark, name):
+        store = parse_props_json(replay_df(spark, name))
+        got = props_to_triples(store)
+        pr = precision_recall(got, golden_df(spark, name))
+        assert pr["fp"] == 0, f"false positives: {pr}"
+        assert pr["fn"] == 0, f"false negatives: {pr}"
+        assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+
+class TestEndToEndFixture:
+    """Full pipeline on the transcript fixture: segmentation must align
+    with the golden @graph (4 nodes) and triple P/R must be >= 0.95."""
+
+    def test_segment_count_matches_graph(self, spark):
+        text = (pathlib.Path("/root/reference/test") / TXT).read_text("utf-8")
+        df = spark.createDataFrame([(TXT, text)], "doc_id string, text string")
+        segs = segment_documents(
+            df.select("doc_id", text_to_spans("text").alias("spans")), max_tokens=4000
+        )
+        n_graph = len(json.loads(GOLDEN_FILES[TXT].read_text("utf-8"))["@graph"])
+        assert segs.count() == n_graph == 4
+
+    def test_pr_gate(self, spark):
+        text = (pathlib.Path("/root/reference/test") / TXT).read_text("utf-8")
+        df = spark.createDataFrame([(TXT, text)], "doc_id string, text string")
+        segs = segment_documents(
+            df.select("doc_id", text_to_spans("text").alias("spans")), max_tokens=4000
+        )
+        store = parse_props_json(replay_df(spark, TXT))
+        joined = segs.select("doc_id", "seg_id").join(
+            store, ["doc_id", "seg_id"], "inner"
+        )
+        got = props_to_triples(joined)
+        pr = precision_recall(got, golden_df(spark, TXT))
+        assert pr["precision"] >= 0.95, pr
+        assert pr["recall"] >= 0.95, pr
+
+
+class TestFlattenNode:
+    def test_blank_node_paths(self):
+        node = {
+            "@type": "Thing",
+            "mentions": [{"@type": "Person", "name": "X"}],
+            "timeline": {
+                "@type": "ItemList",
+                "itemListElement": [
+                    {
+                        "@type": "ListItem",
+                        "position": 1,
+                        "item": {"@type": "Event", "name": "E"},
+                    }
+                ],
+            },
+        }
+        t = flatten_node("d", 0, node)
+        s = "seg:d#0"
+        assert ("d", 0, s, "@type", "Thing", "literal") in t
+        assert ("d", 0, s, "mentions", f"{s}/mentions/0", "node") in t
+        assert ("d", 0, f"{s}/mentions/0", "name", "X", "literal") in t
+        assert (
+            "d", 0, f"{s}/timeline/itemListElement/0", "position", "1", "literal"
+        ) in t
+        assert (
+            "d", 0, f"{s}/timeline/itemListElement/0/item", "name", "E", "literal"
+        ) in t
+
+    def test_raw_props_inverts(self):
+        node = {
+            "@type": "Thing",
+            "keywords": "a, b",
+            "author": {"@type": "Person", "name": "Jean"},
+            "events": [{"@type": "Event", "name": "E", "startDate": "2020-01-01"}],
+            "timeline": {
+                "@type": "ItemList",
+                "itemListElement": [
+                    {"@type": "ListItem", "position": 1,
+                     "item": {"@type": "Event", "name": "E", "description": "d"}}
+                ],
+            },
+        }
+        raw = raw_props(node)
+        assert raw["keywords"] == ["a", "b"]
+        assert raw["author"] == "Jean"
+        assert raw["events"] == [{"name": "E", "date": "2020-01-01"}]
+        assert raw["timeline"] == [{"name": "E", "description": "d"}]
