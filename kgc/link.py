@@ -1,0 +1,239 @@
+"""G3/G4 — minhash-LSH blocking + entity-link scoring.
+
+The reference resolves entity identity implicitly through the LLM's
+running AnalysisContext (internal/llm/interface.go:7-11,
+internal/jsonld/converter.go:57).  Our engine makes it explicit and
+distributed:
+
+* exact path (G4): mentions ⨝ broadcast alias dictionary on the
+  normalized surface form; score = prior weight boosted by match
+  specificity; top-1 per mention via a window.
+* fuzzy path (G3): mentions with no exact hit are blocked against the
+  dictionary by minhash-LSH over character 3-gram shingles, candidate
+  pairs verified with exact Jaccard, then scored like the exact path.
+
+Everything is Catalyst expressions — the minhash signature is an
+``array_min`` over md5 hashes (lexicographic min of uniform hex strings
+is a valid minhash), so the same computation is expressible in ANSI SQL
+for the DuckDB oracle.  md5 (not xxhash64) precisely so both engines
+produce identical values.
+
+Scale notes: the alias dictionary is the small side everywhere
+(broadcast — no shuffle); the only wide exchange is the window top-1,
+partitioned by mention key.  LSH band join keys are md5 strings —
+uniformly distributed, no skew by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- shingles ---
+def char_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of lower(col), as an array<string>.
+
+    Pure Catalyst: transform over a sequence of start offsets.  Strings
+    shorter than n yield the whole string as a single shingle.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    ln = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(F.when(ln > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (for document-level dedup)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(col) if isinstance(col, str) else col), F.lit(r"[^\W_]+"), 0
+    )
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# -------------------------------------------------------------- minhash ---
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation minhash as array<string> of md5-hex minima.
+
+    Hash family i = md5(i || '|' || shingle); the min over shingles of a
+    uniform hash is the classic minhash estimator (Broder 1997).  Using
+    the hex string directly keeps the computation engine-portable
+    (identical in DuckDB for the oracle) at the cost of 32 bytes per
+    lane — fine, signatures are tiny next to the shingle sets.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+            )
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Signature → array<struct<band:int, key:string>> for the block join."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))).alias("key"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (verification step)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------- exact link ----
+def _norm_alias(colname: str) -> Column:
+    return F.array_join(
+        F.regexp_extract_all(F.lower(F.col(colname)), F.lit(r"[^\W_]+"), 0), " "
+    )
+
+
+def link_exact(
+    mentions: DataFrame,
+    alias_df: DataFrame,
+    mention_key: tuple[str, ...] = ("doc_id", "seg_id", "tok_begin"),
+) -> DataFrame:
+    """G4 exact path: broadcast join + window top-1 per mention.
+
+    Score = weight * (1 + 0.1*(n_toks-1)) — longer surface forms are
+    more specific.  Deterministic tie-break on entity_id.
+    """
+    adf = alias_df.select(
+        _norm_alias("alias").alias("alias"), "entity_id", "entity_type", "weight"
+    ).dropDuplicates(["alias", "entity_id"])
+    j = mentions.join(F.broadcast(adf), "alias")
+    j = j.withColumn(
+        "score",
+        F.col("weight") * (F.lit(1.0) + F.lit(0.1) * (F.col("n_toks") - 1)),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in mention_key]).orderBy(
+        F.col("score").desc(), F.col("entity_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------- fuzzy link ----
+def link_fuzzy(
+    unmatched: DataFrame,
+    alias_df: DataFrame,
+    surface_col: str = "surface",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    mention_key: tuple[str, ...] = ("doc_id", "seg_id", "tok_begin"),
+) -> DataFrame:
+    """G3: LSH-block unmatched surfaces against the dictionary, verify
+    with exact char-3gram Jaccard ≥ threshold, score = weight * jaccard.
+
+    The dictionary side is tiny → its banded form is broadcast; the
+    mention side computes signatures in one narrow pass.  rows = k//bands.
+    """
+    rows = k // bands
+    m = unmatched.withColumn("_sh", char_shingles(surface_col)).withColumn(
+        "_sig", minhash_signature(F.col("_sh"), k)
+    )
+    m = m.select(
+        *unmatched.columns,
+        "_sh",
+        F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("_b"),
+    ).select(*unmatched.columns, "_sh", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+
+    a = alias_df.withColumn("_sh_a", char_shingles("alias")).withColumn(
+        "_sig_a", minhash_signature(F.col("_sh_a"), k)
+    )
+    a = a.select(
+        F.col("alias").alias("cand_alias"),
+        "entity_id",
+        "entity_type",
+        "weight",
+        "_sh_a",
+        F.explode(lsh_bands(F.col("_sig_a"), bands, rows)).alias("_b"),
+    ).select(
+        "cand_alias", "entity_id", "entity_type", "weight", "_sh_a",
+        F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"),
+    )
+
+    cand = (
+        m.join(F.broadcast(a), ["_band", "_key"])
+        .drop("_band", "_key")
+        .dropDuplicates([*mention_key, "entity_id"])
+    )
+    cand = cand.withColumn("jaccard", jaccard(F.col("_sh"), F.col("_sh_a"))).filter(
+        F.col("jaccard") >= threshold
+    )
+    cand = cand.withColumn("score", F.col("weight") * F.col("jaccard")).drop(
+        "_sh", "_sh_a"
+    )
+    w = Window.partitionBy(*[F.col(c) for c in mention_key]).orderBy(
+        F.col("score").desc(), F.col("entity_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_df: DataFrame,
+    fuzzy: bool = True,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact first; fuzzy only for mentions with no exact hit.
+
+    Returns (doc_id, seg_id, alias, surface, tok_begin, n_toks,
+    entity_id, entity_type, score, method).
+    """
+    cols = [
+        "doc_id", "seg_id", "alias", "surface", "tok_begin", "n_toks",
+        "entity_id", "entity_type", "score",
+    ]
+    # Persist: the mention set feeds BOTH the exact join and the anti-join
+    # miss detection — without a materialization boundary the upstream
+    # (parse→segment→scan UDFs) would recompute per branch, and Spark
+    # 4.1's plan-deduplication re-clones the subtree leaving the pandas
+    # UDF un-extracted inside a JVM Project (codegen failure).
+    from pyspark import StorageLevel
+
+    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    exact = link_exact(mentions, alias_df).select(*cols).withColumn(
+        "method", F.lit("exact")
+    )
+    if not fuzzy:
+        return exact
+    missed = mentions.join(
+        F.broadcast(
+            alias_df.select(_norm_alias("alias").alias("alias")).dropDuplicates()
+        ),
+        "alias",
+        "left_anti",
+    )
+    fz = link_fuzzy(missed, alias_df, threshold=threshold).select(*cols).withColumn(
+        "method", F.lit("fuzzy")
+    )
+    return exact.unionByName(fz)

@@ -1,0 +1,259 @@
+"""End-to-end KG-construction pipeline (the reference's convert() loop,
+re-expressed as one staged Spark job — SURVEY §3 lifecycle).
+
+    docs → spans (parse) → segments (pack) → mentions (dict scan)
+         → link (exact + LSH fuzzy) → canonicalize (connected comps)
+         → triples (+ @context table) → metrics
+
+Each stage optionally lands in a StageStore (parquet + manifest locally,
+Iceberg on a cluster) so a rerun resumes from the last committed stage
+via anti-join on doc_id (G8).
+
+Run: ``python -m kgc.pipeline --sf /root/testdata/sf0.001``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgc import canon, link, mentions, metrics, parsers, segment, triples, vocab
+from kgc.checkpoint import StageStore
+from kgc.synth import ALIASES
+
+
+# ------------------------------------------------------------------- E2 ---
+# extractSchemaOrgType's priority list (converter.go:147): the FIRST of
+# these present wins, fallback "Thing".
+COMMON_TYPES = ["Article", "Person", "Event", "Organization", "Place", "CreativeWork", "Thing"]
+
+
+def classify_main_type(
+    segments_df: DataFrame, linked: DataFrame
+) -> DataFrame:
+    """Deterministic E2 (determineMainType, converter.go:122-141):
+    the segment's main type is the first type of the reference's
+    commonTypes priority list (converter.go:147-156) that any linked
+    entity in the segment carries; fallback 'Thing' exactly as the
+    reference (converter.go:168).
+
+    One groupBy on (doc_id, seg_id) collecting the distinct type set —
+    map-side partial aggregation keeps the shuffle narrow.
+    """
+    votes = linked.groupBy("doc_id", "seg_id").agg(
+        F.collect_set("entity_type").alias("_types")
+    )
+    pick = F.coalesce(
+        *[
+            F.when(F.array_contains(F.col("_types"), t), F.lit(t))
+            for t in COMMON_TYPES
+        ],
+        F.lit("Thing"),
+    )
+    return (
+        segments_df.join(votes, ["doc_id", "seg_id"], "left")
+        .withColumn(
+            "main_type",
+            F.when(F.col("_types").isNotNull(), pick).otherwise(F.lit("Thing")),
+        )
+        .drop("_types")
+    )
+
+
+# -------------------------------------------------------- entity triples ---
+_TYPE_PRED = {
+    "Person": "mentions",
+    "Place": "locations",
+    "Event": "events",
+}
+
+
+def entity_triples(linked_canon: DataFrame) -> DataFrame:
+    """Linked+canonicalized mentions → KG triples.
+
+    seg --pred--> ent:<canonical_id>;  ent node gets @type + name.
+    pred follows the reference's emission vocabulary: Person→mentions,
+    Place→locations, Event→events (converter.go:252-314), everything
+    else → 'about'.  One narrow projection + a dedup shuffle (G7).
+    """
+    pred = F.coalesce(
+        *[
+            F.when(F.col("entity_type") == t, F.lit(p))
+            for t, p in _TYPE_PRED.items()
+        ],
+        F.lit("about"),
+    )
+    seg_subj = F.concat(
+        F.lit("seg:"), F.col("doc_id").cast("string"), F.lit("#"),
+        F.col("seg_id").cast("string"),
+    )
+    ent = F.concat(F.lit("ent:"), F.col("canonical_id"))
+    base = linked_canon.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("seg_id").cast("int").alias("seg_id"),
+        seg_subj.alias("subj"),
+        pred.alias("pred"),
+        ent.alias("obj"),
+        F.lit("node").alias("obj_type"),
+        F.col("entity_type"),
+        F.col("alias"),
+        ent.alias("ent_node"),
+    )
+    edge = base.select("doc_id", "seg_id", "subj", "pred", "obj", "obj_type")
+    typing = base.select(
+        "doc_id", "seg_id",
+        F.col("ent_node").alias("subj"),
+        F.lit("@type").alias("pred"),
+        F.col("entity_type").alias("obj"),
+        F.lit("literal").alias("obj_type"),
+    )
+    naming = base.select(
+        "doc_id", "seg_id",
+        F.col("ent_node").alias("subj"),
+        F.lit("name").alias("pred"),
+        F.col("alias").alias("obj"),
+        F.lit("literal").alias("obj_type"),
+    )
+    return edge.unionByName(typing).unionByName(naming)
+
+
+# ------------------------------------------------------------- pipeline ---
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    alias_df: DataFrame | None = None,
+    max_tokens: int = 200,
+    store: StageStore | None = None,
+    fuzzy: bool = True,
+) -> dict[str, DataFrame]:
+    """Full pipeline.  ``docs`` needs (doc_id, spans) or (doc_id, text).
+
+    Returns every stage DataFrame; with a StageStore, stages already
+    committed are read back instead of recomputed (resume path).
+    """
+    alias_df = alias_df if alias_df is not None else _default_alias_df(spark)
+    aliases = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
+
+    def stage(name: str, make):
+        if store is not None:
+            if store.exists(name):
+                return store.read(spark, name)
+            return store.write(make(), name)
+        # No store: persist as the stage boundary.  Stage outputs are
+        # consumed by several downstream branches (typing + triples);
+        # the boundary both avoids recomputing the UDF stages per
+        # branch and sidesteps Spark 4.1's self-union re-clone leaving
+        # pandas UDFs un-extracted in JVM projects.
+        from pyspark import StorageLevel
+
+        return make().persist(StorageLevel.MEMORY_AND_DISK)
+
+    if "spans" not in docs.columns:
+        src = "source" if "source" in docs.columns else None
+        docs = parsers.parse_documents(docs, text_col="text", source_col=src)
+    docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "spans")
+
+    segs = stage(
+        "segments", lambda: segment.segment_documents(docs, max_tokens=max_tokens)
+    )
+    ment = stage(
+        "mentions",
+        lambda: mentions.detect_mentions(
+            segs.select("doc_id", "seg_id", "seg_text"), aliases
+        ),
+    )
+    linked = stage(
+        "linked", lambda: link.link_mentions(ment, alias_df, fuzzy=fuzzy)
+    )
+    linked_canon = stage(
+        "canonical", lambda: canon.canonicalize_entities(linked, alias_df)
+    )
+    typed_segs = classify_main_type(
+        segs.select("doc_id", "seg_id"), linked_canon
+    )
+    ents = entity_triples(linked_canon)
+    seg_types = typed_segs.select(
+        "doc_id", "seg_id",
+        F.concat(
+            F.lit("seg:"), F.col("doc_id"), F.lit("#"), F.col("seg_id").cast("string")
+        ).alias("subj"),
+        F.lit("@type").alias("pred"),
+        F.col("main_type").alias("obj"),
+        F.lit("literal").alias("obj_type"),
+    )
+    trip = stage(
+        "triples",
+        lambda: triples.dedup_triples(ents.unionByName(seg_types)),
+    )
+    types_df, props_df = vocab.builtin_vocab(spark)
+    ctx = vocab.context_table(types_df, props_df)
+
+    return {
+        "documents": docs,
+        "segments": segs,
+        "mentions": ment,
+        "linked": linked,
+        "canonical": linked_canon,
+        "triples": trip,
+        "context": ctx,
+    }
+
+
+def _default_alias_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(a, e, t, w) for a, e, t, w in ALIASES],
+        "alias string, entity_id string, entity_type string, weight double",
+    )
+
+
+def run_metrics(stages: dict[str, DataFrame]) -> DataFrame:
+    lineage = metrics.stage_summary(
+        {k: v for k, v in stages.items() if k in ("segments", "mentions", "triples")}
+    )
+    return lineage
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=None, help="StageStore dir (enables resume)")
+    ap.add_argument("--max-tokens", type=int, default=200)
+    ap.add_argument("--no-fuzzy", action="store_true")
+    args = ap.parse_args()
+
+    from kgc.session import get_spark
+
+    spark = get_spark("kgc-pipeline")
+    docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+    store = StageStore(args.out) if args.out else None
+    t0 = time.time()
+    stages = run(
+        spark, docs, store=store, max_tokens=args.max_tokens, fuzzy=not args.no_fuzzy
+    )
+    n_triples = stages["triples"].count()
+    elapsed = time.time() - t0
+    pred_counts = {
+        r["pred"]: r["n_triples"]
+        for r in metrics.triple_metrics(stages["triples"]).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "n_docs": stages["documents"].count(),
+                "n_segments": stages["segments"].count(),
+                "n_mentions": stages["mentions"].count(),
+                "n_triples": n_triples,
+                "triples_per_sec": n_triples / elapsed if elapsed else None,
+                "elapsed_sec": round(elapsed, 2),
+                "pred_counts": pred_counts,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""R10/V1-V3 — schema.org vocabulary tables + the JSON-LD @context map.
+
+The reference loads data/schemaorg-current-https.jsonld into two hash
+maps (internal/schema/schema.go:38-112) and looks entities up with a
+3-step fallback — schema:-prefixed, bare, case-insensitive full scan
+(schema.go:121-163).  Relationally the fallback collapses into ONE
+normalized equi-join: both sides keyed on lower(local-name).
+
+``load_schemaorg`` reads any schema.org-style JSON-LD dump with
+``spark.read.json`` (multiLine) → explode @graph → two small DataFrames
+(types, properties), cached and broadcast at join sites.  When no dump
+is on disk (this sandbox ships none we may copy), ``builtin_vocab``
+supplies the deterministic subset covering every type/property the
+reference's converter actually emits (converter.go:147,257,276,295,
+315-339) — tens of rows, same schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCHEMA_NS = "https://schema.org/"
+
+# (label, comment, subclass_of) — the emission vocabulary of the
+# reference converter + enough structure for subclass tests.
+_TYPES = [
+    ("Thing", "The most generic type of item.", None),
+    ("Person", "A person (alive, dead, undead, or fictional).", "Thing"),
+    ("Place", "Entities with a somewhat fixed physical extension.", "Thing"),
+    ("Organization", "An organization such as a school, NGO, corporation.", "Thing"),
+    ("Event", "An event happening at a certain time and location.", "Thing"),
+    ("CreativeWork", "The most generic kind of creative work.", "Thing"),
+    ("Article", "An article, such as a news article or piece of investigative report.", "CreativeWork"),
+    ("WebPage", "A web page.", "CreativeWork"),
+    ("ItemList", "A list of items of any sort.", "Thing"),
+    ("ListItem", "An list item, e.g. a step in a checklist or how-to description.", "Thing"),
+]
+
+# (label, comment, domain, range)
+_PROPERTIES = [
+    ("name", "The name of the item.", "Thing", "Text"),
+    ("description", "A description of the item.", "Thing", "Text"),
+    ("abstract", "An abstract is a short description that summarizes a CreativeWork.", "CreativeWork", "Text"),
+    ("keywords", "Keywords or tags used to describe some item.", "CreativeWork", "Text"),
+    ("genre", "Genre of the creative work.", "CreativeWork", "Text"),
+    ("author", "The author of this content.", "CreativeWork", "Person"),
+    ("datePublished", "Date of first publication.", "CreativeWork", "Date"),
+    ("mentions", "Indicates that the CreativeWork contains a reference to, but is not necessarily about a concept.", "CreativeWork", "Thing"),
+    ("locations", "Places referenced by the work (emission vocabulary).", "CreativeWork", "Place"),
+    ("events", "Events referenced by the work (emission vocabulary).", "CreativeWork", "Event"),
+    ("mainEntity", "Indicates the primary entity described in some page or other CreativeWork.", "CreativeWork", "Thing"),
+    ("isPartOf", "Indicates an item or CreativeWork that this item is part of.", "CreativeWork", "CreativeWork"),
+    ("citation", "A citation or reference to another creative work.", "CreativeWork", "CreativeWork"),
+    ("startDate", "The start date and time of the item.", "Event", "Date"),
+    ("participants", "Participants of the event (emission vocabulary).", "Event", "Person"),
+    ("position", "The position of an item in a series or sequence of items.", "ListItem", "Integer"),
+    ("item", "An entity represented by an entry in a list.", "ListItem", "Thing"),
+    ("itemListElement", "For itemListElement values, you can use simple strings.", "ItemList", "ListItem"),
+    ("timeline", "Ordered event list of the work (emission vocabulary).", "CreativeWork", "ItemList"),
+]
+
+
+def builtin_vocab(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(types_df, properties_df) — deterministic built-in subset."""
+    types = spark.createDataFrame(
+        [(SCHEMA_NS + l, l, c, (SCHEMA_NS + s) if s else None) for l, c, s in _TYPES],
+        "type_id string, label string, comment string, subclass_of string",
+    )
+    props = spark.createDataFrame(
+        [
+            (SCHEMA_NS + l, l, c, SCHEMA_NS + d, SCHEMA_NS + r)
+            for l, c, d, r in _PROPERTIES
+        ],
+        "prop_id string, label string, comment string, domain string, range string",
+    )
+    return types.cache(), props.cache()
+
+
+def load_schemaorg(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Full vocabulary scan (R10): JSON-LD dump → (types, properties).
+
+    Mirrors schema.go:56-102 bucketing: @graph entries with
+    @type rdfs:Class → types, rdf:Property → properties.  Runs as one
+    multiLine JSON read + explode — Catalyst prunes the giant @graph
+    structs down to the five selected fields.
+    """
+    raw = spark.read.option("multiLine", "true").json(path)
+    g = raw.select(F.explode("@graph").alias("n"))
+    tcol = F.col("n.@type")
+    is_class = F.when(
+        tcol.cast("string").contains("rdfs:Class"), F.lit(True)
+    ).otherwise(F.lit(False))
+    label = F.coalesce(
+        F.col("n.rdfs:label").cast("string"), F.col("n.@id").cast("string")
+    )
+    types = g.filter(is_class).select(
+        F.col("n.@id").alias("type_id"),
+        label.alias("label"),
+        F.col("n.rdfs:comment").cast("string").alias("comment"),
+        F.col("n.rdfs:subClassOf").cast("string").alias("subclass_of"),
+    )
+    props = g.filter(tcol.cast("string").contains("rdf:Property")).select(
+        F.col("n.@id").alias("prop_id"),
+        label.alias("label"),
+        F.col("n.rdfs:comment").cast("string").alias("comment"),
+        F.col("n.schema:domainIncludes").cast("string").alias("domain"),
+        F.col("n.schema:rangeIncludes").cast("string").alias("range"),
+    )
+    return types.cache(), props.cache()
+
+
+def _local_name(c):
+    """'https://schema.org/Person' | 'schema:Person' | 'Person' → 'person'."""
+    return F.lower(F.element_at(F.split(c, "[/:#]"), -1))
+
+
+def lookup_types(df: DataFrame, types_df: DataFrame, name_col: str) -> DataFrame:
+    """V1 as one broadcast equi-join on normalized local name.
+
+    The reference's 3-step fallback (schema:-prefix, bare, case-
+    insensitive scan, schema.go:121-142) all reduce to matching the
+    lowercased local name.
+    """
+    t = types_df.withColumn("_k", _local_name(F.col("label")))
+    return df.withColumn("_k", _local_name(F.col(name_col))).join(
+        F.broadcast(t), "_k", "left"
+    ).drop("_k")
+
+
+def lookup_properties(df: DataFrame, props_df: DataFrame, name_col: str) -> DataFrame:
+    """V2 — same normalized broadcast join against properties."""
+    p = props_df.withColumn("_k", _local_name(F.col("label")))
+    return df.withColumn("_k", _local_name(F.col(name_col))).join(
+        F.broadcast(p), "_k", "left"
+    ).drop("_k")
+
+
+def suggest_properties(
+    segments: DataFrame, props_df: DataFrame, text_col: str = "seg_text"
+) -> DataFrame:
+    """V3 SuggestProperties (schema.go:165-183): keep properties whose
+    lowercased label occurs in the lowercased content — a substring
+    theta-join, executed as broadcast nested loop (props side is tiny).
+
+    At dictionary sizes beyond broadcast, switch to the token-prejoin:
+    explode segment tokens, equi-join on first label token, then verify
+    containment — same results, shuffle instead of BNLJ.
+    """
+    p = F.broadcast(props_df.select("prop_id", "label"))
+    return segments.crossJoin(p).filter(
+        F.contains(F.lower(F.col(text_col)), F.lower(F.col("label")))
+    )
+
+
+def context_table(types_df: DataFrame, props_df: DataFrame) -> DataFrame:
+    """The JSON-LD @context mapping table (term, iri, datatype).
+
+    Relational form of '@context': 'https://schema.org'
+    (cmd/cli/main.go:205-208): every emitted term resolves to its IRI;
+    date-ranged properties carry an explicit datatype coercion.
+    """
+    t = types_df.select(
+        F.col("label").alias("term"),
+        F.col("type_id").alias("iri"),
+        F.lit("@id").alias("datatype"),
+    )
+    p = props_df.select(
+        F.col("label").alias("term"),
+        F.col("prop_id").alias("iri"),
+        F.when(F.col("range").endswith("/Date"), F.lit("xsd:date"))
+        .when(F.col("range").endswith("/Integer"), F.lit("xsd:integer"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("datatype"),
+    )
+    return t.unionByName(p).dropDuplicates(["term"])

@@ -1,0 +1,219 @@
+"""Mention detection (G2), linking (G3/G4), canonicalization (G5),
+and the end-to-end pipeline on the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc import canon, link, mentions, pipeline, synth
+from kgc.mentions import build_alias_index, scan_text_py
+
+
+# ------------------------------------------------------------- G2 scan ---
+def test_scan_leftmost_longest():
+    index, max_n = build_alias_index(["cour de cassation", "cassation", "paris"])
+    hits = scan_text_py(
+        "La Cour de cassation siège à Paris, pas la cassation locale.", index, max_n
+    )
+    assert [h["alias"] for h in hits] == [
+        "cour de cassation",
+        "paris",
+        "cassation",
+    ]
+    # longest match consumed all three tokens — no nested 'cassation' hit
+    first = hits[0]
+    assert first["surface"] == "Cour de cassation"
+    assert first["n_toks"] == 3
+
+
+def test_scan_offsets_punctuation():
+    index, max_n = build_alias_index(["code civil"])
+    text = "Voir: le CODE CIVIL (art. 2)."
+    (h,) = scan_text_py(text, index, max_n)
+    assert text[h["begin"] : h["end"]] == "CODE CIVIL"
+
+
+def test_detect_mentions_spark_matches_python(spark):
+    docs = synth.generate_documents(spark, n_docs=40)
+    segs = (
+        docs.select(
+            "doc_id", F.posexplode("spans").alias("seg_id", "s")
+        )
+        .select("doc_id", "seg_id", F.col("s.text").alias("seg_text"))
+        .filter(F.col("seg_text").isNotNull())
+    )
+    aliases = [a for a, *_ in synth.ALIASES]
+    got = mentions.detect_mentions(segs, aliases).orderBy(
+        "doc_id", "seg_id", "tok_begin"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # spot-check against the golden python scanner
+    index, max_n = build_alias_index(aliases)
+    seg_rows = segs.orderBy("doc_id", "seg_id").collect()
+    expected = 0
+    for r in seg_rows:
+        expected += len(scan_text_py(r["seg_text"], index, max_n))
+    assert len(rows) == expected
+
+
+def test_ngram_variant_superset_of_scanner(spark):
+    """The ngram join emits every occurrence; the scanner's non-overlap
+    rule only removes nested/overlapping hits → scanner ⊆ ngram."""
+    docs = synth.generate_documents(spark, n_docs=30)
+    segs = (
+        docs.select("doc_id", F.posexplode("spans").alias("seg_id", "s"))
+        .select("doc_id", "seg_id", F.col("s.text").alias("seg_text"))
+        .filter(F.col("seg_text").isNotNull())
+    )
+    aliases = [a for a, *_ in synth.ALIASES]
+    adf = synth.alias_dict_df(spark)
+    scan_hits = (
+        mentions.detect_mentions(segs, aliases)
+        .select("doc_id", "seg_id", "alias", "tok_begin")
+        .distinct()
+    )
+    ngram_hits = (
+        mentions.detect_mentions_ngram(segs, adf)
+        .select("doc_id", "seg_id", "alias", "tok_begin")
+        .distinct()
+    )
+    missing = scan_hits.join(
+        ngram_hits, ["doc_id", "seg_id", "alias", "tok_begin"], "left_anti"
+    )
+    assert missing.count() == 0
+
+
+# ------------------------------------------------------------ G4 exact ---
+def test_link_exact_top1(spark):
+    ment = spark.createDataFrame(
+        [
+            ("d1", 0, "paris", "Paris", 0, 1),
+            ("d1", 0, "cassation", "cassation", 3, 1),
+        ],
+        "doc_id string, seg_id int, alias string, surface string, tok_begin int, n_toks int",
+    )
+    adf = spark.createDataFrame(
+        [
+            ("paris", "E4", "Place", 0.9),
+            ("paris", "E9", "Person", 0.2),  # ambiguous alias, lower prior
+            ("cassation", "E1", "Organization", 0.6),
+        ],
+        "alias string, entity_id string, entity_type string, weight double",
+    )
+    out = link.link_exact(ment, adf).orderBy("tok_begin").collect()
+    assert len(out) == 2  # top-1 per mention
+    assert out[0]["entity_id"] == "E4"  # higher weight wins
+    assert out[1]["entity_id"] == "E1"
+
+
+# ------------------------------------------------------------ G3 fuzzy ---
+def test_link_fuzzy_typo(spark):
+    ment = spark.createDataFrame(
+        [("d1", 0, "cour de casation", "Cour de casation", 0, 3)],
+        "doc_id string, seg_id int, alias string, surface string, tok_begin int, n_toks int",
+    )
+    adf = spark.createDataFrame(
+        [("cour de cassation", "E1", "Organization", 1.0)],
+        "alias string, entity_id string, entity_type string, weight double",
+    )
+    out = link.link_fuzzy(ment, adf, threshold=0.4).collect()
+    assert len(out) == 1
+    assert out[0]["entity_id"] == "E1"
+    assert out[0]["jaccard"] > 0.5
+
+
+def test_link_mentions_exact_precedence(spark):
+    ment = spark.createDataFrame(
+        [("d1", 0, "paris", "Paris", 0, 1), ("d1", 1, "pariss", "Pariss", 0, 1)],
+        "doc_id string, seg_id int, alias string, surface string, tok_begin int, n_toks int",
+    )
+    adf = spark.createDataFrame(
+        [("paris", "E4", "Place", 0.9)],
+        "alias string, entity_id string, entity_type string, weight double",
+    )
+    out = {(r["seg_id"], r["method"]): r["entity_id"] for r in
+           link.link_mentions(ment, adf, threshold=0.4).collect()}
+    assert out[(0, "exact")] == "E4"
+    assert out[(1, "fuzzy")] == "E4"
+
+
+# ----------------------------------------------------------- G5 compcc ---
+@pytest.mark.parametrize(
+    "edges,expected",
+    [
+        # chain 1-2-3-4-5
+        ([(i, i + 1) for i in range(1, 5)], {i: 1 for i in range(1, 6)}),
+        # star around 10 + separate pair
+        ([(10, i) for i in range(11, 16)] + [(100, 101)],
+         {**{i: 10 for i in [10, 11, 12, 13, 14, 15]}, 100: 100, 101: 100}),
+        # two triangles bridged
+        ([(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+         {i: 1 for i in range(1, 7)}),
+    ],
+)
+def test_connected_components(spark, edges, expected):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in canon.connected_components(e, max_iter=10).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_string_ids_and_hot_hub(spark):
+    # hot hub: 'a' connected to 200 nodes (skew path), plus chain c1-c2
+    edges = [("a", f"n{i:03d}") for i in range(200)] + [("c1", "c2")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in canon.connected_components(e).collect()}
+    assert got["a"] == "a"  # 'a' < 'n***'
+    assert all(got[f"n{i:03d}"] == "a" for i in range(200))
+    assert got["c1"] == "c1" and got["c2"] == "c1"
+
+
+def test_canonicalize_entities_merges_shared_alias(spark):
+    linked = spark.createDataFrame(
+        [("d1", 0, "x", "X", 0, 1, "E9", "Place", 1.0, "exact")],
+        "doc_id string, seg_id int, alias string, surface string, tok_begin int,"
+        " n_toks int, entity_id string, entity_type string, score double, method string",
+    )
+    adf = spark.createDataFrame(
+        [("lutece", "E4", "Place", 0.4), ("Lutece", "E9", "Place", 0.5),
+         ("paris", "E4", "Place", 0.9)],
+        "alias string, entity_id string, entity_type string, weight double",
+    )
+    out = canon.canonicalize_entities(linked, adf).collect()
+    # E9 shares surface 'lutece' with E4 → canonical is min(E4, E9) = E4
+    assert out[0]["canonical_id"] == "E4"
+
+
+# ------------------------------------------------------------- pipeline ---
+def test_pipeline_end_to_end(spark, tmp_path):
+    from kgc.checkpoint import StageStore
+
+    docs = synth.generate_documents(spark, n_docs=60)
+    store = StageStore(tmp_path / "stages")
+    stages = pipeline.run(spark, docs, max_tokens=50, store=store)
+    trips = stages["triples"]
+    n = trips.count()
+    assert n > 0
+    # schema + dedup invariants
+    assert trips.columns == ["doc_id", "seg_id", "subj", "pred", "obj", "obj_type"]
+    assert trips.select("subj", "pred", "obj").distinct().count() == n
+    # every segment got a @type triple
+    n_segs = stages["segments"].count()
+    assert trips.filter((F.col("pred") == "@type") & F.col("subj").startswith("seg:")).count() == n_segs
+    # resume: rerun with same store → identical triple set, no recompute
+    stages2 = pipeline.run(spark, docs, max_tokens=50, store=store)
+    assert stages2["triples"].exceptAll(trips).count() == 0
+    assert trips.exceptAll(stages2["triples"]).count() == 0
+
+
+def test_pipeline_determinism(spark):
+    docs = synth.generate_documents(spark, n_docs=40, n_parts=4)
+    t1 = pipeline.run(spark, docs, max_tokens=50)["triples"]
+    docs2 = synth.generate_documents(spark, n_docs=40, n_parts=7)
+    t2 = pipeline.run(spark, docs2, max_tokens=50)["triples"]
+    assert t1.exceptAll(t2).count() == 0
+    assert t2.exceptAll(t1).count() == 0
