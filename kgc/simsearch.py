@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (query id → top-k neighbor ids by cosine):
+
+* ``topk_bruteforce`` — exact baseline.  Pure Catalyst cosine over a
+  (queries × corpus) join; correct at any k, quadratic in corpus size.
+  At cluster scale you only ever run this INSIDE a blocking bucket.
+* ``topk_lsh`` — the scale path.  Random-hyperplane sketches bucket the
+  corpus; a query probes its own bucket plus all buckets within
+  hamming ≤ r of its sketch (multi-probe), then exact cosine + window
+  top-k inside the probed set.  The corpus side shuffles once on the
+  bucket key; probe fan-out is the explode of a tiny neighbor-mask
+  array.
+* ``topk_bruteforce_pandas`` — Arrow-batched NumPy matmul variant of
+  the baseline (the corpus matrix rides the closure / a broadcast):
+  what you'd use when the per-bucket candidate set is dense enough
+  that BLAS beats codegen.
+
+Scores are computed in double, left-to-right, rounded to 6 decimals —
+bit-identical to the DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgc.dedup import cosine, hyperplane_signature
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k, self-match
+    excluded.  Tie-break on neighbor id (deterministic)."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 12,
+    probe_hamming: int = 1,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane bucket + multi-probe.
+
+    Recall knob = planes (fewer → bigger buckets) × probe_hamming
+    (probe all buckets whose sketch differs in ≤ r bits: 1 + planes
+    buckets at r=1).  Candidates then exact-scored; output shape equals
+    the brute-force contract so the two are drop-in interchangeable.
+    """
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("cv"),
+        hyperplane_signature(F.col(c_vec), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("qv"),
+        hyperplane_signature(F.col(q_vec), planes).alias("sig"),
+    )
+    # probe masks: sketch itself + each single-bit flip (r=1), etc.
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(planes) for j in range(i + 1, planes)
+        ]
+    probes = F.array(*[F.lit(m).cast("bigint") for m in masks])
+    qp = q.select(
+        "query_id", "qv",
+        F.explode(F.transform(probes, lambda m: F.col("sig").bitwiseXOR(m))).alias("bucket"),
+    )
+    cand = qp.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_bruteforce_pandas(
+    queries: DataFrame,
+    corpus_rows: list[tuple],
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """NumPy-matmul exact top-k; corpus ships as a broadcast matrix.
+
+    corpus_rows: [(id, [floats])].  mapInPandas — one BLAS gemm per
+    Arrow batch, zero per-row Python.  At cluster scale the corpus
+    matrix arrives via sc.broadcast; semantics identical.
+    """
+    import numpy as np
+
+    ids = np.array([r[0] for r in corpus_rows])
+    M = np.array([r[1] for r in corpus_rows], dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            qids = pdf["query_id"].to_numpy()
+            Q = np.vstack(pdf["qv"].to_numpy())
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+            S = Qn @ Mn.T  # (batch, corpus)
+            for row in range(S.shape[0]):
+                s = S[row]
+                mask = ids != qids[row]
+                order = np.lexsort((ids[mask], -np.round(s[mask], 6)))[:k]
+                cand_ids = ids[mask][order]
+                cand_s = np.round(s[mask][order], 6)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[row],
+                        "neighbor_id": cand_ids,
+                        "cosine": cand_s,
+                        "rank": np.arange(1, len(cand_ids) + 1, dtype=np.int32),
+                    }
+                )
+
+    q = queries.select(
+        F.col(q_id).cast("long").alias("query_id"), F.col(q_vec).alias("qv")
+    )
+    return q.mapInPandas(score, out_schema)

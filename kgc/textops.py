@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own operators (SURVEY §2), a 100 TB corpus
+pipeline needs per-document text QA: language ID, quality scoring,
+token counting, fingerprinting.  All pure Catalyst — whole-stage
+codegen, no Python, and every operator has an ANSI-SQL twin for the
+DuckDB oracle (md5-based hashing so both engines agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists (top function words). Enough signal
+# for the heuristic; the POINT is the operator shape (broadcast set
+# membership over token arrays), not lexicon quality.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "on",
+           "with", "as", "was", "at", "by", "an", "be", "this", "are", "or"],
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "en", "un", "une",
+           "dans", "que", "qui", "pour", "sur", "est", "au", "aux", "ce", "pas"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "sich",
+           "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch"],
+    "es": ["el", "la", "los", "las", "de", "del", "y", "en", "un", "una",
+           "que", "por", "con", "para", "es", "al", "se", "no", "su", "lo"],
+}
+
+
+def norm_tokens(col: Column | str) -> Column:
+    """Lowercased word-char token array (matching normalization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[^\W_]+"), 0)
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """T1 whitespace token count (tokenizer.go:8-10 semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return (
+        F.when(c.isNull() | (F.length(t) == 0), F.lit(0))
+        .otherwise(F.size(F.split(t, r"(?U)\s+")))
+        .cast("int")
+    )
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish subword proxy count: letter runs + digit runs + each
+    non-space symbol run counted separately (the GPT-2 pre-tokenizer
+    shape, simplified to an RE2-compatible class so DuckDB agrees)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"), 0)
+    ).cast("int")
+
+
+def stopword_ratio(col: Column | str, lang: str) -> Column:
+    """Fraction of tokens in the language's stopword set."""
+    toks = norm_tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def detect_language(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword-hit ratio over the four
+    Latin-script lexicons; CJK-dominant text → 'zh'; no signal → 'und'.
+
+    One narrow projection; at 100 TB this is exactly the map-side
+    filter you want before routing documents to per-language stages.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cjk = F.size(F.regexp_extract_all(c, F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+    total_chars = F.length(c)
+    scores = [(lang, stopword_ratio(c, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[s for _, s in scores])
+    pick = F.coalesce(
+        *[F.when((s == best) & (s > 0), F.lit(lang)) for lang, s in scores],
+        F.lit("und"),
+    )
+    return F.when(
+        (total_chars > 0) & (cjk.cast("double") / total_chars.cast("double") > 0.3),
+        F.lit("zh"),
+    ).otherwise(pick)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature family (length / punct / stopword /
+    repetition ratios) — compose into filters per corpus policy."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = norm_tokens(c)
+    n_toks = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_upper = F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), 0))
+    uniq_ratio = F.when(
+        n_toks > 0,
+        F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double"),
+    ).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda a, t: a + F.length(t))
+        / n_toks.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": n_toks.cast("int"),
+        "punct_ratio": F.when(
+            n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "upper_ratio": F.when(
+            n_chars > 0, n_upper.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "uniq_token_ratio": uniq_ratio,
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio_en": stopword_ratio(c, "en"),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Scalar [0,1] quality score: well-formed prose scores high, word
+    soup / symbol soup scores low.  Deterministic linear blend, rounded
+    to 6 decimals so the DuckDB twin matches bit-for-bit."""
+    f = quality_features(col)
+    raw = (
+        F.lit(0.25) * F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.25) * f["uniq_token_ratio"]
+        + F.lit(0.25) * F.least(f["stopword_ratio_en"] * 4, F.lit(1.0))
+    )
+    return F.round(raw, 6)
+
+
+def fingerprint(col: Column | str, shingle_n: int = 3, k: int = 4) -> Column:
+    """Document fingerprint: bottom-k sketch over token-shingle md5s.
+
+    Sort the md5 hashes of all word n-gram shingles, concatenate the k
+    smallest — a compact, containment-stable document signature
+    (winnowing-family; bottom-k sketch of the shingle set).  Identical
+    text → identical fingerprint; engine-portable via md5.
+    """
+    from kgc.link import token_shingles
+
+    hashes = F.array_sort(
+        F.transform(token_shingles(col, shingle_n), lambda s: F.md5(s))
+    )
+    return F.array_join(F.slice(hashes, 1, k), "")
