@@ -21,23 +21,7 @@ from pyspark.sql import functions as F
 
 # Alias dictionary tuned to the testdata vocabulary (deterministic
 # stand-in for the reference's LLM entity surfacing; FIXTURES.md §2).
-# 'query' maps to two entity ids → exercises canonicalization merge;
-# 'scan' maps to two ids with different priors → exercises top-1.
-ALIAS_ROWS = [
-    ("customer", "E01", "Person", 0.9),
-    ("table scan", "E02", "Event", 0.9),
-    ("scan", "E03", "Thing", 0.4),
-    ("scan", "E11", "Event", 0.2),
-    ("hash join", "E04", "Event", 0.9),
-    ("join", "E05", "Thing", 0.4),
-    ("window", "E06", "Place", 0.6),
-    ("stream", "E07", "Place", 0.5),
-    ("spark", "E08", "Organization", 1.0),
-    ("data", "E09", "CreativeWork", 0.7),
-    ("sort", "E10", "Thing", 0.3),
-    ("query", "E12", "Thing", 0.5),
-    ("query", "E13", "Thing", 0.4),
-]
+from kgc.synth import TESTDATA_ALIASES as ALIAS_ROWS
 
 _ALIAS_SQL_VALUES = ", ".join(
     f"('{a}', '{e}', '{t}', {w})" for a, e, t, w in ALIAS_ROWS
@@ -353,10 +337,10 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from kgc.dedup import simhash60
+    from kgc.dedup import with_simhash
 
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_simhash(d, "text", "simhash").select("doc_id", "simhash")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -542,6 +526,14 @@ def q_ann_pandas(spark, sf_dir):
     return topk_bruteforce_pandas(q, corpus, k=5)
 
 
+def q_jsonld_render(spark, sf_dir):
+    """A1/A2: triples → per-doc ordered @graph → JSON-LD text."""
+    from kgc.triples import render_jsonld
+
+    t = q_pipeline_triples(spark, sf_dir)
+    return render_jsonld(t)
+
+
 def q_golden_pr(spark, sf_dir):
     """Golden-fixture precision/recall gate (BASELINE metric) as a
     one-row DataFrame."""
@@ -623,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
         "ann_pandas": q_ann_pandas,
+        "jsonld_render": q_jsonld_render,
         "golden_pr": q_golden_pr,
     }
 

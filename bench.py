@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "triples_per_sec": ..., "cpus": ...}
+
+The primary BASELINE metric is triples/sec of the full KG pipeline;
+per-query wall times cover the heavy operator families (dedup, simhash,
+ANN, rollups).  scripts/scaling.py runs this at two parallelism levels
+for the N-vs-4N scaling-efficiency number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as em
+    from kgc.session import get_spark
+
+    spark = get_spark(
+        "kgc-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    # warm the JVM + Arrow path so per-query times measure the operators
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    n_triples = 0
+
+    def run(name: str, fn) -> None:
+        nonlocal n_triples
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "pipeline_triples":
+            n_triples = n
+
+    run("pipeline_triples", em.q_pipeline_triples)
+    run("segments", em.q_segments)
+    run("mentions", em.q_mentions)
+    run("link_topk", em.q_link_topk)
+    run("minhash_pairs", em.q_minhash_pairs)
+    run("simhash", em.q_simhash)
+    run("ngram_jaccard", em.q_ngram_jaccard)
+    run("fingerprint", em.q_fingerprint)
+    run("langid", em.q_langid)
+    run("quality", em.q_quality)
+    run("ann_topk", em.q_ann_topk)
+    run("embed_neardup", em.q_embed_neardup)
+    run("events_rollup", em.q_events_rollup)
+    run("revenue_by_nation", em.q_revenue_by_nation)
+    run("user_journeys", em.q_user_journeys)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kgc_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / timings["pipeline_triples"], 2)
+        if timings.get("pipeline_triples")
+        else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

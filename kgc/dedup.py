@@ -61,28 +61,50 @@ def minhash_near_duplicates(
     hash; dropDuplicates on the pair collapses multi-band collisions
     before the (cheap) verification.
     """
+    from pyspark import StorageLevel
+
     rows = k // bands
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        token_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    banded = sh.withColumn("sig", minhash_signature(F.col("sh"), k)).select(
-        "doc_id", "sh", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("doc_id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # three-projection chain: toks → shingles → lanes/bands.  Each hop's
+    # output is referenced ≥2 times downstream, which stops
+    # CollapseProject from inlining the expensive child into the next
+    # stage (see kgc.link.minhash_signature).  The shingle table is
+    # persisted: it feeds both the band computation and the pairwise
+    # verification join.
+    from kgc.link import shingles_from_tokens
+    from kgc.textops import norm_tokens
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
+        )
+        .select(
+            "doc_id", "_toks", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
+        )
+        .select("doc_id", "sh")
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # band keys only — the heavy shingle arrays do NOT ride the shuffle.
+    # sig lands in its own projection (8 downstream refs → no inline),
+    # so the k-lane minhash is computed exactly once per row.
+    sigd = sh.select("doc_id", minhash_signature(F.col("sh"), k).alias("sig"))
+    banded = sigd.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.col("x.sh").alias("sh_a"),
-            F.col("y.sh").alias("sh_b"),
-        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    # verify candidates with exact Jaccard — shingles re-join from cache
+    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     return (
-        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.join(sh_a, "a")
+        .join(sh_b, "b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -158,6 +180,43 @@ def simhash60(col: Column | str) -> Column:
     return F.when(n > 0, total).otherwise(F.lit(0).cast("bigint"))
 
 
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """DataFrame-level simhash with projection barriers: tokens →
+    hashed (md5 once per token) → 60 bit-tallies.  Each intermediate
+    is referenced ≥2 times by the next projection, so CollapseProject
+    keeps the stages separate and nothing re-evaluates.  Prefer this
+    over the raw ``simhash60`` column on large scans."""
+    from kgc.textops import norm_tokens
+
+    keep = df.columns
+    t = df.select(*keep, norm_tokens(text_col).alias("_toks"))
+    h = t.select(
+        *keep, "_toks", F.transform(F.col("_toks"), _tok_hash60).alias("_hashed")
+    )
+
+    def _tally(b: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(
+            F.aggregate(F.col("_hashed"), F.lit(0).cast("bigint"), _tally(b)) > 0,
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(60)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return h.select(
+        *keep,
+        F.when(F.size("_toks") > 0, total).otherwise(F.lit(0).cast("bigint")).alias(out_col),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -171,8 +230,19 @@ def simhash_near_duplicates(
     pigeonhole any pair within hamming ≤ bands-1 shares ≥1 exact band →
     equi-join per band, then verify true hamming with bit_count(xor).
     """
+    from pyspark import StorageLevel
+
     width = 60 // bands
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("h"))
+    # persisted: the banded self-join reads this twice
+    sh = (
+        with_simhash(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            "text",
+            "h",
+        )
+        .select("doc_id", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = sh.select(
         "doc_id",
         "h",
@@ -237,8 +307,14 @@ def embedding_near_duplicates(
     (for near-DUPLICATES the sketch collides with very high
     probability); verified with exact cosine ≥ threshold.
     """
+    from pyspark import StorageLevel
+
     sig = hyperplane_signature(F.col(vec_col), planes)
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    # persist: both sides of the self-join read s — without the
+    # materialization each side recomputes the signature scan.
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         s.alias("x")
         .join(s.alias("y"), "sig")
@@ -252,27 +328,27 @@ def embedding_near_duplicates(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
-def hyperplane_signature(vec: Column, planes: int = 16) -> Column:
+def _plane_sign(i: int, j: int) -> float:
+    """Hyperplane component h_i[j] ∈ {−1,+1} from md5(i|j).
+
+    Same formula the DuckDB oracle evaluates in SQL — but since it is
+    data-independent, Spark gets it as a plan-time LITERAL (hashlib md5
+    == engine md5), so the scan runs zero md5 calls."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0] < "8" else -1.0
+
+
+def hyperplane_signature(vec: Column, planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane sketch as a bigint: bit i = 1 iff v·h_i > 0.
 
-    Plane indices are compile-time ints → the planes unroll into one
-    codegen'd projection (shift amounts must be Python ints anyway).
-    """
+    ``dim`` must cover the vector length (extra literals are ignored by
+    zip_with's null-padding → 0 contribution)."""
 
     def dot_plane(i: int) -> Column:
+        signs = F.array(*[F.lit(_plane_sign(i, j)) for j in range(dim)])
         prods = F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda j: F.when(
-                    F.substring(
-                        F.md5(F.concat(F.lit(str(i) + "|"), j.cast("string"))), 1, 1
-                    )
-                    < F.lit("8"),
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, h: x.cast("double") * h,
+            vec, signs, lambda x, h: F.coalesce(x.cast("double") * h, F.lit(0.0))
         )
         return F.aggregate(prods, F.lit(0.0), lambda a, v: a + v)
 

@@ -46,11 +46,13 @@ def char_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(ln > 0, grams).otherwise(F.array().cast("array<string>")))
 
 
-def token_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (for document-level dedup)."""
-    toks = F.regexp_extract_all(
-        F.lower(F.col(col) if isinstance(col, str) else col), F.lit(r"[^\W_]+"), 0
-    )
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-TOKENIZED array.
+
+    Pass an attribute (column from a previous projection), not an
+    inline tokenizer expression — the gram lambda slices `toks` once
+    per gram, so an inlined regexp tokenizer would re-run O(n_tokens)
+    times per row."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
@@ -61,7 +63,25 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (for document-level dedup).
+
+    Column-API convenience; on large scans prefer a two-step select
+    with ``shingles_from_tokens`` (see its docstring)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(col) if isinstance(col, str) else col), F.lit(r"[^\W_]+"), 0
+    )
+    return shingles_from_tokens(toks, n)
+
+
 # -------------------------------------------------------------- minhash ---
+def minhash_lane(shingles: Column, i: int) -> Column:
+    """One minhash lane: min over shingles of md5(i|shingle)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    )
+
+
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """k-permutation minhash as array<string> of md5-hex minima.
 
@@ -70,25 +90,30 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     the hex string directly keeps the computation engine-portable
     (identical in DuckDB for the oracle) at the cost of 32 bytes per
     lane — fine, signatures are tiny next to the shingle sets.
+
+    PERFORMANCE NOTE: lanes unroll as a Python loop, NOT
+    transform(sequence(k), ...).  With the sequence-lambda form the
+    `shingles` child appears textually once, so CollapseProject inlines
+    it into the lambda and the whole shingle computation re-executes
+    per lane (k× blowup).  Unrolled, each lane references `shingles`
+    explicitly; ≥2 references stop the inline and the child is
+    evaluated once per row.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
-            )
-        ),
-    )
+    return F.array(*[minhash_lane(shingles, i) for i in range(k)])
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Signature → array<struct<band:int, key:string>> for the block join."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))).alias("key"),
-        ),
+    """Signature → array<struct<band:int, key:string>> for the block
+    join.  Unrolled per band (same CollapseProject rationale as
+    minhash_signature)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))).alias("key"),
+            )
+            for b in range(bands)
+        ]
     )
 
 

@@ -226,13 +226,16 @@ def main() -> None:
     args = ap.parse_args()
 
     from kgc.session import get_spark
+    from kgc.synth import testdata_alias_df
 
     spark = get_spark("kgc-pipeline")
     docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+    alias_df = testdata_alias_df(spark)
     store = StageStore(args.out) if args.out else None
     t0 = time.time()
     stages = run(
-        spark, docs, store=store, max_tokens=args.max_tokens, fuzzy=not args.no_fuzzy
+        spark, docs, alias_df=alias_df, store=store,
+        max_tokens=args.max_tokens, fuzzy=not args.no_fuzzy,
     )
     n_triples = stages["triples"].count()
     elapsed = time.time() - t0

@@ -1,0 +1,226 @@
+"""Structured Streaming surface — incremental ingest for the KG pipeline.
+
+The reference is strictly batch (one CLI process per file,
+cmd/cli/main.go:132-228); the streaming capability is a gap operator for
+the 10^12-doc corpus: new document files land continuously and the
+narrow stages (parse → segment → mention scan) are stateless maps, so
+they run unchanged on a streaming DataFrame — the SAME pandas UDFs and
+Catalyst expressions as batch (operator unification).  Wide stages
+(linking top-1, canonicalization) stay in the batch layer, fed by the
+streaming stage's sink (classic lambda-free kappa split: streaming does
+the narrow 99% of the work incrementally).
+
+Components:
+* ``stream_documents``  — file-source stream of documents → segments +
+  mentions, identical semantics to the batch stages.
+* ``stream_event_rollup`` — watermarked sliding-window aggregation over
+  the events table (late data bounded by the watermark).
+* ``sessionize_events`` — custom stateful operator
+  (applyInPandasWithState): gap-based sessionization per user, the
+  canonical "operator Spark lacks" implemented with explicit state.
+* ``run_available_now`` — test/ops helper: drain the stream with the
+  availableNow trigger into a memory sink.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    aliases: list[str],
+    max_tokens: int = 200,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-source stream → segments + exploded mentions.
+
+    Narrow-only (no shuffle): every micro-batch is embarrassingly
+    parallel, so throughput scales with executors exactly like batch.
+    """
+    from kgc.mentions import detect_mentions
+    from kgc.parsers import text_to_spans
+    from kgc.segment import segment_documents
+
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    docs = src.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        text_to_spans("text").alias("spans"),
+    )
+    segs = segment_documents(docs, max_tokens=max_tokens)
+    return detect_mentions(
+        segs.select("doc_id", "seg_id", "seg_text"), aliases
+    )
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed aggregation (the streaming twin of the batch
+    events_rollup query).  Late events beyond the watermark are dropped
+    deterministically; state size is bounded by watermark horizon ×
+    event-type cardinality."""
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    w = F.window(F.col("ts"), window, slide or window)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.col("event_type"), w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_ms: int):
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(pdf["ts"].astype("int64") // 1_000_000)
+        ts.sort()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = ts[0], ts[0], 0
+        out = []
+        for t in ts:
+            if t - last_ms > gap_ms:
+                out.append((start_ms, last_ms, n))
+                start_ms, n = t, 0
+            last_ms = t
+            n += 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutDuration(gap_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in out],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in out],
+                    "n_events": [c for _, _, c in out],
+                }
+            )
+
+    return fn
+
+
+def sessionize_events(
+    spark: SparkSession, path: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based sessionization — custom stateful streaming operator via
+    applyInPandasWithState (G-gap sessions close when no event arrives
+    within `gap`; state per user, evicted on processing-time timeout)."""
+    gap_ms = _parse_duration_ms(gap)
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(n) * mult
+
+
+def run_available_now(
+    df: DataFrame, name: str, timeout_sec: int = 300, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DF into a memory sink with availableNow.
+
+    Use output_mode='complete' for windowed aggregations in tests —
+    append-mode only flushes windows older than the watermark, which on
+    a finite drain withholds the trailing windows."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

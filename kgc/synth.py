@@ -144,3 +144,31 @@ def alias_dict_df(spark: SparkSession) -> DataFrame:
         [(a, e, t, w) for a, e, t, w in ALIASES],
         "alias string, entity_id string, entity_type string, weight double",
     )
+
+
+# Alias dictionary tuned to the driver's testdata vocabulary
+# (/root/testdata documents are English query-engine word soup).
+# 'query' maps to two entity ids → exercises canonicalization merge;
+# 'scan' maps to two ids with different priors → exercises top-1.
+TESTDATA_ALIASES = [
+    ("customer", "E01", "Person", 0.9),
+    ("table scan", "E02", "Event", 0.9),
+    ("scan", "E03", "Thing", 0.4),
+    ("scan", "E11", "Event", 0.2),
+    ("hash join", "E04", "Event", 0.9),
+    ("join", "E05", "Thing", 0.4),
+    ("window", "E06", "Place", 0.6),
+    ("stream", "E07", "Place", 0.5),
+    ("spark", "E08", "Organization", 1.0),
+    ("data", "E09", "CreativeWork", 0.7),
+    ("sort", "E10", "Thing", 0.3),
+    ("query", "E12", "Thing", 0.5),
+    ("query", "E13", "Thing", 0.4),
+]
+
+
+def testdata_alias_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        TESTDATA_ALIASES,
+        "alias string, entity_id string, entity_type string, weight double",
+    )

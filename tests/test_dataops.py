@@ -1,0 +1,135 @@
+"""Dedup / text-analysis / similarity-search operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc import dedup, simsearch, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ----------------------------------------------------------------- dedup ---
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "unique"), (4, "same")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert all(r["group_size"] == 3 for r in out.values())
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+
+
+def test_minhash_finds_near_dups_not_random(spark, docs):
+    d = docs.select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    pairs = dedup.minhash_near_duplicates(
+        d.unionByName(mut), k=32, bands=8, threshold=0.5
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    expected = {(i, i + 10000) for i in range(10)}
+    # LSH is probabilistic: with 8 bands of 4 rows a ~0.85-jaccard pair
+    # is caught w.p. ≈ 1-(1-0.85^4)^8 ≈ 0.99 — require ≥8/10 and zero
+    # false positives (random soup is far below the 0.5 threshold).
+    assert len(found & expected) >= 8, found
+    assert found <= expected, found - expected
+
+
+def test_simhash_stability_and_sensitivity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+            (3, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["h"] for r in df.select("doc_id", dedup.simhash60(F.col("text")).alias("h")).collect()}
+    ham12 = bin(h[1] ^ h[2]).count("1")
+    ham13 = bin(h[1] ^ h[3]).count("1")
+    assert h[1] == h[2]  # case-normalized tokens → identical
+    assert ham13 > 10
+
+
+def test_embedding_neardup_exact_copies(spark, emb):
+    e = emb.select("vec_id", "embedding")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = dedup.embedding_near_duplicates(aug, threshold=0.99).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert {(i, i + 9000) for i in range(5)} <= found
+
+
+# --------------------------------------------------------------- textops ---
+def test_langid_french_english(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy with the dog"),
+            (2, "le chat est sur la table et il est content dans la maison"),
+            (3, "der hund ist in dem haus und die katze ist auf dem tisch"),
+            (4, "今日は良い天気ですね散歩に行きましょう"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", textops.detect_language("text").alias("l")).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "de"
+    assert out[4] == "zh" and out[5] == "und"
+
+
+def test_quality_orders_prose_above_soup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The committee published the report and it was discussed in the assembly for days."),
+            (2, "x x x x x x x x x x"),
+            (3, "!!! ??? ### $$$ %%%"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["q"] for r in df.select("doc_id", textops.quality_score("text").alias("q")).collect()}
+    assert out[1] > out[2] > out[3]
+
+
+def test_fingerprint_stable_and_distinct(spark, docs):
+    fp = docs.select("doc_id", textops.fingerprint("text").alias("fp"))
+    n = fp.count()
+    assert fp.select("fp").distinct().count() > n * 0.9
+    fp2 = docs.select("doc_id", textops.fingerprint("text").alias("fp"))
+    assert fp.exceptAll(fp2).count() == 0
+
+
+# ------------------------------------------------------------- simsearch ---
+def test_lsh_ann_recall_vs_bruteforce(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = simsearch.topk_bruteforce(q, emb, k=5)
+    approx = simsearch.topk_lsh(q, emb, k=5, planes=8, probe_hamming=1)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # random gaussians are a worst case
+
+
+def test_pandas_ann_matches_catalyst(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = simsearch.topk_bruteforce(q, emb, k=5)
+    corpus = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    pnd = simsearch.topk_bruteforce_pandas(q, corpus, k=5)
+    e = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect())
+    p = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in pnd.collect())
+    assert e == p

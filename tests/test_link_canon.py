@@ -140,6 +140,8 @@ def test_link_mentions_exact_precedence(spark):
 
 
 # ----------------------------------------------------------- G5 compcc ---
+@pytest.mark.parametrize("threshold", [0, canon.SMALL_GRAPH_THRESHOLD],
+                         ids=["distributed", "fastpath"])
 @pytest.mark.parametrize(
     "edges,expected",
     [
@@ -153,20 +155,26 @@ def test_link_mentions_exact_precedence(spark):
          {i: 1 for i in range(1, 7)}),
     ],
 )
-def test_connected_components(spark, edges, expected):
+def test_connected_components(spark, edges, expected, threshold):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["node"]: r["component"]
-        for r in canon.connected_components(e, max_iter=10).collect()
+        for r in canon.connected_components(
+            e, max_iter=10, small_graph_threshold=threshold
+        ).collect()
     }
     assert got == expected
 
 
 def test_connected_components_string_ids_and_hot_hub(spark):
     # hot hub: 'a' connected to 200 nodes (skew path), plus chain c1-c2
+    # — forced through the DISTRIBUTED star-contraction path.
     edges = [("a", f"n{i:03d}") for i in range(200)] + [("c1", "c2")]
     e = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["node"]: r["component"] for r in canon.connected_components(e).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in canon.connected_components(e, small_graph_threshold=0).collect()
+    }
     assert got["a"] == "a"  # 'a' < 'n***'
     assert all(got[f"n{i:03d}"] == "a" for i in range(200))
     assert got["c1"] == "c1" and got["c2"] == "c1"

@@ -1,0 +1,100 @@
+"""Structured Streaming stages + multimodal media plumbing."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgc import media, streaming, synth
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def test_stream_event_rollup_matches_batch(spark, events_dir):
+    roll = streaming.stream_event_rollup(spark, events_dir, window="1 hour")
+    got = streaming.run_available_now(roll, "rollup_test", output_mode="complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("win.start").alias("win_start"), "n")
+    )
+    g = {(r["event_type"], r["win_start"], r["n"]) for r in got.collect()}
+    b = {(r["event_type"], r["win_start"], r["n"]) for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_documents_matches_batch(spark, sf_dir, tmp_path):
+    from kgc.mentions import detect_mentions
+    from kgc.parsers import text_to_spans
+    from kgc.segment import segment_documents
+    from __spark_entry__ import ALIAS_ROWS
+
+    aliases = [a for a, *_ in ALIAS_ROWS]
+    stream = streaming.stream_documents(
+        spark, f"{sf_dir}/documents.parquet", aliases, max_tokens=64
+    )
+    got = streaming.run_available_now(stream, "docs_stream_test")
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        text_to_spans("text").alias("spans"),
+    )
+    batch = detect_mentions(
+        segment_documents(batch_docs, max_tokens=64).select(
+            "doc_id", "seg_id", "seg_text"
+        ),
+        aliases,
+    )
+    cols = ["doc_id", "seg_id", "alias", "tok_begin"]
+    assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_sessionize_events(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions separated by a 2-hour gap; the second session
+    # stays OPEN at end-of-stream (timeout never fires under availableNow)
+    for i in range(3):
+        rows.append((i, base + dt.timedelta(minutes=5 * i), 1, "click", 1.0, "{}"))
+    for i in range(2):
+        rows.append((10 + i, base + dt.timedelta(hours=3, minutes=i), 1, "click", 1.0, "{}"))
+    src = tmp_path / "events_session"
+    spark.createDataFrame(rows, streaming.EVENTS_SCHEMA).write.parquet(str(src))
+    sess = streaming.sessionize_events(spark, str(src), gap="30 minutes")
+    got = streaming.run_available_now(sess, "sess_test").collect()
+    closed = [(r["n_events"], r["session_start"], r["session_end"]) for r in got]
+    assert len(closed) == 1
+    n, s, e = closed[0]
+    assert n == 3 and s == base and e == base + dt.timedelta(minutes=10)
+
+
+def test_media_pipeline(spark):
+    docs = synth.generate_documents(spark, n_docs=60)
+    m = media.media_table_from_spans(docs)
+    rows = m.collect()
+    assert len(rows) > 0
+    assert all(r["kind"] in ("image", "audio") for r in rows)
+    feats = media.decode_media(m, mode="fake")
+    f = feats.collect()
+    assert all(len(r["features"]) == media.FEATURE_DIM for r in f)
+    # determinism
+    f2 = media.decode_media(m, mode="fake")
+    assert feats.exceptAll(f2).count() == 0
+    # strict mode raises at the decode boundary
+    with pytest.raises(Exception) as exc:
+        media.decode_media(m, mode="strict").collect()
+    assert "NotImplementedError" in str(exc.value) or "decode requires" in str(exc.value)
+    # frame sampling fans out 1:N
+    frames = media.frame_sample(m.limit(5), n_frames=3)
+    assert frames.count() == 15
+    # triples
+    t = media.media_triples(feats)
+    assert t.filter(F.col("pred") == "@type").count() == len(rows)
