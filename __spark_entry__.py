@@ -190,6 +190,19 @@ def q_extract_type(spark, sf_dir):
     )
 
 
+def q_clean_response(spark, sf_dir):
+    from kgc.functions import clean_json_response
+
+    d = _docs(spark, sf_dir)
+    fenced = F.concat(
+        F.lit("```json\n{\"lang\": \""), F.col("lang"), F.lit("\"}\n```  ")
+    )
+    raw = F.when(F.col("doc_id") % 2 == 0, fenced).otherwise(
+        F.concat(F.lit("  {\"src\": \""), F.col("source"), F.lit("\"}  "))
+    )
+    return d.select("doc_id", clean_json_response(raw).alias("cleaned"))
+
+
 def q_map_format(spark, sf_dir):
     from kgc.functions import format_map_to_string
 
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments": q_segments,
         "valid_dates": q_valid_dates,
         "extract_type": q_extract_type,
+        "clean_response": q_clean_response,
         "map_format": q_map_format,
         "keywords_join": q_keywords_join,
         "mentions": q_mentions,
@@ -807,6 +821,16 @@ SELECT doc_id, resp,
   CASE {type_chain}
        ELSE coalesce(nullif(regexp_extract(resp, '(^|[\\s])([A-Z][^\\s]*)', 2), ''), 'Thing')
   END AS main_type
+FROM r"""
+
+    q["clean_response"] = r"""
+WITH r AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0
+       THEN '```json' || chr(10) || '{"lang": "' || lang || '"}' || chr(10) || '```  '
+       ELSE '  {"src": "' || source || '"}  ' END AS raw
+FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(raw, '^\s*```(json)?\s*', ''), '\s*```\s*$', '')) AS cleaned
 FROM r"""
 
     q["map_format"] = """

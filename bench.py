@@ -39,6 +39,10 @@ def main() -> None:
 
     def run(name: str, fn) -> None:
         nonlocal n_triples
+        # drop persisted DFs from the previous query: leftover cached
+        # blocks share the unified memory region with execution and
+        # distort later md5-heavy stages
+        spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Large unrolled expressions (minhash lanes, 60-bit simhash
+        # tallies) generate big Janino classes; the JVM's default 240m
+        # code cache fills after a few such plans and the JIT disables
+        # itself → interpreted execution, 10-20× slower for md5-heavy
+        # stages.  Flushing + a bigger cache keeps codegen'd plans hot.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
