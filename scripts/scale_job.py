@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Single-measurement KG-pipeline throughput job for the scaling
+experiment: deterministic synthetic interleaved corpus (same input at
+every parallelism level — seed-stable, generated in parallel from
+spark.range) → parse-free span pipeline → segments → mentions → link →
+triples.  Prints one JSON line.
+
+Used by scripts/scaling.py --mode synth; run standalone as
+  SPARK_GRAFT_CPUS=8 python scripts/scale_job.py --n-docs 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=100_000)
+    ap.add_argument("--max-tokens", type=int, default=60)
+    args = ap.parse_args()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from kgc import synth
+    from kgc.link import link_exact
+    from kgc.mentions import detect_mentions
+    from kgc.pipeline import entity_triples
+    from kgc.segment import segment_documents
+    from kgc.session import get_spark
+
+    # IDENTICAL input layout at every parallelism level: partition count
+    # and shuffle partitions are properties of the DATASET/job config,
+    # not of the cluster size under test — varying them with cpus would
+    # confound the scaling measurement (different Arrow batch sizes, GC
+    # profiles).  128/64 are sized for the largest level (local[32]).
+    N_PARTS = 128
+    SHUFFLE_PARTS = 64
+    spark = get_spark(
+        "kgc-scale", master=f"local[{cpus}]", shuffle_partitions=SHUFFLE_PARTS
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    # generate up front so timing measures the pipeline, not the synth
+    docs = synth.generate_documents(spark, n_docs=args.n_docs, n_parts=N_PARTS)
+    docs = docs.localCheckpoint(eager=True)
+    alias_df = synth.alias_dict_df(spark)
+    aliases = [a for a, *_ in synth.ALIASES]
+
+    def one_pass() -> tuple[int, float]:
+        t0 = time.time()
+        segs = segment_documents(docs, max_tokens=args.max_tokens)
+        ment = detect_mentions(segs.select("doc_id", "seg_id", "seg_text"), aliases)
+        ment = ment.withColumn("surface", F.col("alias"))
+        linked = link_exact(ment, alias_df).withColumn(
+            "canonical_id", F.col("entity_id")
+        )
+        triples = entity_triples(linked)
+        n = triples.count()
+        return n, time.time() - t0
+
+    # warmup pass (plan compile, python-worker spawn, JIT), then
+    # median of 3 measured passes — single-shot numbers on a shared
+    # box are noise-dominated
+    one_pass()
+    runs = sorted(one_pass() for _ in range(3))
+    n_triples, elapsed = runs[1]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_docs": args.n_docs,
+                "n_triples": n_triples,
+                "elapsed_sec": round(elapsed, 2),
+                "triples_per_sec": round(n_triples / elapsed, 1),
+                "docs_per_sec": round(args.n_docs / elapsed, 1),
+                "all_runs_sec": [round(t, 2) for _, t in runs],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
