@@ -204,7 +204,7 @@ def canonicalize_entities(
     """
     a = alias_df.select(
         F.array_join(
-            F.regexp_extract_all(F.lower(F.col("alias")), F.lit(r"[^\W_]+"), 0), " "
+            F.regexp_extract_all(F.lower(F.col("alias")), F.lit(r"(?U)[^\W_]+"), 0), " "
         ).alias("alias"),
         "entity_id",
     ).distinct()

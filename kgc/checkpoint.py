@@ -8,10 +8,19 @@ manifest commit → resume-by-anti-join) is real and tested locally; the
 Iceberg catalog is a configuration swap (`writeTo(...).append()`), not a
 code change.
 
-Commit protocol: write parquet to ``<stage>.tmp`` → write manifest →
-atomic rename to ``<stage>``.  A crash mid-write leaves only the tmp
-dir, which resume ignores — the parquet dir is either fully committed
-or absent, mirroring Iceberg snapshot atomicity.
+Commit protocol (in this order — the manifest IS the commit record):
+delete old manifest → write parquet to ``<stage>.tmp`` → atomic rename
+to ``<stage>`` → write manifest.  A crash anywhere before the final
+manifest write leaves the stage UNcommitted (`exists()` is manifest AND
+data), never a stale manifest pointing at missing/partial data —
+mirroring Iceberg snapshot atomicity.  (Round 1 renamed before
+deleting the old manifest, so a crash in that window kept a stale
+manifest while the previously committed data was already gone;
+ADVICE r1.)
+
+Manifests carry an optional input ``fingerprint``; ``is_valid`` lets a
+resume detect that the stage was computed from different input and must
+be invalidated instead of silently served stale (ADVICE r1).
 """
 
 from __future__ import annotations
@@ -38,9 +47,15 @@ class StageStore:
         return self._manifest(stage).exists() and self._dir(stage).exists()
 
     def write(self, df: DataFrame, stage: str, extra: dict | None = None) -> DataFrame:
-        """Materialize a stage (overwrite), commit manifest, return reader."""
+        """Materialize a stage (overwrite), commit manifest, return reader.
+
+        The old manifest is removed FIRST, so the stage reads as
+        uncommitted during the whole rewrite; the new manifest (written
+        last) is the commit point."""
         tmp = self.root / f"{stage}.tmp"
         final = self._dir(stage)
+        if self._manifest(stage).exists():
+            self._manifest(stage).unlink()
         if tmp.exists():
             shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(str(tmp))
@@ -52,6 +67,16 @@ class StageStore:
         manifest = {"stage": stage, "rows": out.count(), **(extra or {})}
         self._manifest(stage).write_text(json.dumps(manifest))
         return out
+
+    def is_valid(self, stage: str, fingerprint: str | int | None = None) -> bool:
+        """Committed AND (when a fingerprint is given) computed from the
+        same input.  A missing fingerprint in an old manifest counts as
+        a mismatch — recompute rather than risk serving stale output."""
+        if not self.exists(stage):
+            return False
+        if fingerprint is None:
+            return True
+        return self.manifest(stage).get("fingerprint") == fingerprint
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(str(self._dir(stage)))

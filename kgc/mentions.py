@@ -157,7 +157,7 @@ def _norm_tokens_expr(colname: str) -> Column:
     regexp_extract_all keeps only the matched runs — identical to the
     Python finditer loop, and whole-stage-codegen'd.
     """
-    return F.regexp_extract_all(F.lower(F.col(colname)), F.lit(r"[^\W_]+"), 0)
+    return F.regexp_extract_all(F.lower(F.col(colname)), F.lit(r"(?U)[^\W_]+"), 0)
 
 
 def detect_mentions_ngram(

@@ -222,5 +222,37 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # Drain then stop explicitly.  awaitTermination(timeout) alone
+    # burned the FULL timeout for stateful queries, and
+    # processAllAvailable() never returns for them —
+    # applyInPandasWithState with a processing-time timeout keeps the
+    # query active (and "data available") waiting for state timeouts,
+    # so availableNow never self-terminates (the r1 test suite spent
+    # 300s in test_sessionize_events on exactly this).  Poll the query
+    # status instead: once no trigger is active and no new data is
+    # available, every input batch is committed.
+    import time
+
+    deadline = time.time() + timeout_sec
+    stable = 0
+    while q.isActive and time.time() < deadline:
+        st = q.status
+        # Drained = ≥1 batch committed (lastProgress set) and no input
+        # left, seen for a few consecutive polls.  We can't rely on
+        # self-termination: applyInPandasWithState with a
+        # processing-time timeout keeps an availableNow query active
+        # forever, spinning "no new data but cleaning up state"
+        # batches (each a state-timeout check that emits nothing) —
+        # round 1's test suite burned the full 300s timeout on this.
+        # isTriggerActive deliberately NOT consulted: the cleanup
+        # trigger is near-always active on such queries.
+        if q.lastProgress is not None and not st["isDataAvailable"]:
+            stable += 1
+            if stable >= 3:
+                break
+        else:
+            stable = 0
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
     return df.sparkSession.sql(f"SELECT * FROM {name}")

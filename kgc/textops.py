@@ -30,7 +30,7 @@ STOPWORDS = {
 def norm_tokens(col: Column | str) -> Column:
     """Lowercased word-char token array (matching normalization)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(r"[^\W_]+"), 0)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"(?U)[^\W_]+"), 0)
 
 
 def token_count_ws(col: Column | str) -> Column:

@@ -77,35 +77,80 @@ def builtin_vocab(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return types.cache(), props.cache()
 
 
-def load_schemaorg(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """Full vocabulary scan (R10): JSON-LD dump → (types, properties).
+SCHEMAORG_DUMP = "/root/reference/data/schemaorg-current-https.jsonld"
 
-    Mirrors schema.go:56-102 bucketing: @graph entries with
-    @type rdfs:Class → types, rdf:Property → properties.  Runs as one
-    multiLine JSON read + explode — Catalyst prunes the giant @graph
-    structs down to the five selected fields.
+# Explicit read schema: every polymorphic field (string | object |
+# array-of-objects in the real dump) is declared STRING, so Spark's
+# JSON reader captures the raw JSON token verbatim and we normalize
+# relationally below — no driver-side parsing, fully distributed.
+_DUMP_SCHEMA = (
+    "`@graph` array<struct<"
+    "`@id` string, `@type` string, "
+    "`rdfs:label` string, `rdfs:comment` string, `rdfs:subClassOf` string, "
+    "`schema:domainIncludes` string, `schema:rangeIncludes` string>>"
+)
+
+
+def _json_label(raw):
+    """'Thing' | '{"@language":"en","@value":"Thing"}' -> 'Thing'."""
+    return F.when(
+        raw.startswith("{"), F.get_json_object(raw, "$['@value']")
+    ).otherwise(raw)
+
+
+def _first_ref(raw):
+    """First schema: reference out of '{"@id":"schema:X"}' or
+    '[{"@id":"schema:A"}, ...]' (or null) -> expanded IRI of X."""
+    ids = F.regexp_extract_all(raw, F.lit(r"schema:([A-Za-z0-9_]+)"), 1)
+    return F.when(
+        F.size(ids) > 0, F.concat(F.lit(SCHEMA_NS), F.element_at(ids, 1))
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def _expand_id(raw):
+    """'schema:Person' -> 'https://schema.org/Person' (the dump uses the
+    schema: prefix; builtin_vocab and the lookups use full IRIs)."""
+    return F.regexp_replace(raw, "^schema:", SCHEMA_NS)
+
+
+def load_schemaorg(
+    spark: SparkSession, path: str = SCHEMAORG_DUMP
+) -> tuple[DataFrame, DataFrame]:
+    """Full vocabulary scan (R10): the real schema.org JSON-LD dump ->
+    (types ~900 rows, properties ~1480 rows).
+
+    Mirrors schema.go:56-102 bucketing: @graph entries whose @type
+    contains rdfs:Class -> types, rdf:Property -> properties (an
+    array-valued @type is captured as raw JSON text, so `contains`
+    covers both shapes).  One multiLine JSON read + explode; Catalyst
+    prunes the @graph structs down to the selected fields.  Labels may
+    be langString objects -> @value extracted; subClassOf / domain /
+    range may be single refs or arrays -> FIRST ref kept (the scalar
+    shape builtin_vocab also uses; the reference's 3-step lookup only
+    consults the label/id keys anyway, schema.go:121-163).
     """
-    raw = spark.read.option("multiLine", "true").json(path)
-    g = raw.select(F.explode("@graph").alias("n"))
-    tcol = F.col("n.@type")
-    is_class = F.when(
-        tcol.cast("string").contains("rdfs:Class"), F.lit(True)
-    ).otherwise(F.lit(False))
-    label = F.coalesce(
-        F.col("n.rdfs:label").cast("string"), F.col("n.@id").cast("string")
+    raw = spark.read.option("multiLine", "true").schema(_DUMP_SCHEMA).json(path)
+    g = raw.select(F.explode(F.col("`@graph`")).alias("n")).select(
+        F.col("n.`@id`").alias("_id"),
+        F.col("n.`@type`").alias("_type"),
+        F.col("n.`rdfs:label`").alias("_label"),
+        F.col("n.`rdfs:comment`").alias("_comment"),
+        F.col("n.`rdfs:subClassOf`").alias("_sub"),
+        F.col("n.`schema:domainIncludes`").alias("_dom"),
+        F.col("n.`schema:rangeIncludes`").alias("_rng"),
     )
-    types = g.filter(is_class).select(
-        F.col("n.@id").alias("type_id"),
-        label.alias("label"),
-        F.col("n.rdfs:comment").cast("string").alias("comment"),
-        F.col("n.rdfs:subClassOf").cast("string").alias("subclass_of"),
+    types = g.filter(F.col("_type").contains("rdfs:Class")).select(
+        _expand_id(F.col("_id")).alias("type_id"),
+        F.coalesce(_json_label(F.col("_label")), F.col("_id")).alias("label"),
+        _json_label(F.col("_comment")).alias("comment"),
+        _first_ref(F.col("_sub")).alias("subclass_of"),
     )
-    props = g.filter(tcol.cast("string").contains("rdf:Property")).select(
-        F.col("n.@id").alias("prop_id"),
-        label.alias("label"),
-        F.col("n.rdfs:comment").cast("string").alias("comment"),
-        F.col("n.schema:domainIncludes").cast("string").alias("domain"),
-        F.col("n.schema:rangeIncludes").cast("string").alias("range"),
+    props = g.filter(F.col("_type").contains("rdf:Property")).select(
+        _expand_id(F.col("_id")).alias("prop_id"),
+        F.coalesce(_json_label(F.col("_label")), F.col("_id")).alias("label"),
+        _json_label(F.col("_comment")).alias("comment"),
+        _first_ref(F.col("_dom")).alias("domain"),
+        _first_ref(F.col("_rng")).alias("range"),
     )
     return types.cache(), props.cache()
 

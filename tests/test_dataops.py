@@ -42,10 +42,20 @@ def test_minhash_finds_near_dups_not_random(spark, docs):
     found = {(r["a"], r["b"]) for r in pairs}
     expected = {(i, i + 10000) for i in range(10)}
     # LSH is probabilistic: with 8 bands of 4 rows a ~0.85-jaccard pair
-    # is caught w.p. ≈ 1-(1-0.85^4)^8 ≈ 0.99 — require ≥8/10 and zero
-    # false positives (random soup is far below the 0.5 threshold).
+    # is caught w.p. ≈ 1-(1-0.85^4)^8 ≈ 0.99 — require ≥8/10.
     assert len(found & expected) >= 8, found
-    assert found <= expected, found - expected
+    # The corpus is NOT duplicate-free — the sf testdata contains true
+    # near-dups (e.g. docs 8/12 have 3-gram Jaccard 0.974; VERDICT r1
+    # verified this in DuckDB).  So instead of asserting found ==
+    # expected, assert every reported pair is a TRUE near-dup: its
+    # exact shingle Jaccard (independent recomputation) >= threshold.
+    cand = spark.createDataFrame(
+        [(a, b) for a, b in found], "a long, b long"
+    )
+    verified = dedup.ngram_jaccard_pairs(d.unionByName(mut), cand).collect()
+    assert len(verified) == len(found)
+    for r in verified:
+        assert r["jaccard"] >= 0.5, (r["a"], r["b"], r["jaccard"])
 
 
 def test_simhash_stability_and_sensitivity(spark):
@@ -115,14 +125,38 @@ def test_fingerprint_stable_and_distinct(spark, docs):
 
 
 # ------------------------------------------------------------- simsearch ---
-def test_lsh_ann_recall_vs_bruteforce(spark, emb):
-    q = emb.filter(F.col("vec_id") < 10)
-    exact = simsearch.topk_bruteforce(q, emb, k=5)
-    approx = simsearch.topk_lsh(q, emb, k=5, planes=8, probe_hamming=1)
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    # Planted-neighbor corpus: on 500 RANDOM gaussians near-neighbors
+    # are nearly orthogonal and hyperplane LSH legitimately has ~no
+    # signal (round-1 flake — recall 0.1 on noise is expected, not a
+    # bug).  LSH recall is only meaningful when true neighbors have
+    # high cosine, so plant clusters: 10 centroids × 6 small-noise
+    # members (cosine ≈ 0.99 within a cluster).
+    import math
+    import random
+
+    rng = random.Random(42)
+    dim = 64
+    rows = []
+    for c in range(10):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in base))
+        base = [x / n for x in base]
+        for m in range(6):
+            v = [x + rng.gauss(0, 0.02) for x in base]
+            rows.append((c * 100 + m, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter(F.col("vec_id") % 100 == 0)
+    exact = simsearch.topk_bruteforce(q, corpus, k=5)
+    approx = simsearch.topk_lsh(q, corpus, k=5, planes=8, probe_hamming=1)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, recall  # random gaussians are a worst case
+    # cluster members are near-duplicates of the query: each of the 8
+    # hyperplanes flips between query and member only if the plane
+    # passes through the ~0.02-noise cone, so sketches collide or are
+    # within hamming 1 with high probability.
+    assert recall >= 0.6, recall
 
 
 def test_pandas_ann_matches_catalyst(spark, emb):

@@ -11,8 +11,20 @@ from kgc import media, streaming, synth
 
 
 @pytest.fixture(scope="module")
-def events_dir(sf_dir):
-    return f"{sf_dir}/events.parquet"
+def events_dir(sf_dir, tmp_path_factory):
+    # Spark's streaming file source requires a DIRECTORY; the testdata
+    # tables are single parquet files — stage a copy (same pattern as
+    # test_sessionize_events, which always passed for this reason).
+    d = tmp_path_factory.mktemp("events_stream_src")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def documents_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream_src")
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    return str(d)
 
 
 def test_stream_event_rollup_matches_batch(spark, events_dir):
@@ -29,7 +41,7 @@ def test_stream_event_rollup_matches_batch(spark, events_dir):
     assert g == b
 
 
-def test_stream_documents_matches_batch(spark, sf_dir, tmp_path):
+def test_stream_documents_matches_batch(spark, sf_dir, documents_dir, tmp_path):
     from kgc.mentions import detect_mentions
     from kgc.parsers import text_to_spans
     from kgc.segment import segment_documents
@@ -37,7 +49,7 @@ def test_stream_documents_matches_batch(spark, sf_dir, tmp_path):
 
     aliases = [a for a, *_ in ALIAS_ROWS]
     stream = streaming.stream_documents(
-        spark, f"{sf_dir}/documents.parquet", aliases, max_tokens=64
+        spark, documents_dir, aliases, max_tokens=64
     )
     got = streaming.run_available_now(stream, "docs_stream_test")
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
