@@ -46,14 +46,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Large unrolled expressions (minhash lanes, 60-bit simhash
-        # tallies) generate big Janino classes; the JVM's default 240m
-        # code cache fills after a few such plans and the JIT disables
-        # itself → interpreted execution, 10-20× slower for md5-heavy
-        # stages.  Flushing + a bigger cache keeps codegen'd plans hot.
+        # Long sessions compile thousands of Janino classes (one per
+        # whole-stage-codegen subtree per query).  When the JVM code
+        # cache fills, UseCodeCacheFlushing evicts hot methods and the
+        # JIT throttles → every stage degrades 2-10× progressively
+        # (round 1 measured minhash_pairs 10s fresh vs 870s aged with
+        # the default 240m, and 512m still degraded 2-3×; 2g keeps a
+        # 40-query bench flat — T0 4.1s → T2 0.7s per stage instead of
+        # slowing down).  Operators also keep generated code O(1) in
+        # lane count (lanes ride as data — see kgc.link.lsh_band_keys),
+        # so this headroom is about query COUNT, not class size.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
     )
     for k, v in (extra_conf or {}).items():
