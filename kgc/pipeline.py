@@ -171,7 +171,7 @@ def release(stages: dict[str, DataFrame]) -> None:
             seen.add(id(p))
             try:
                 if p.storageLevel.useMemory or p.storageLevel.useDisk:
-                    p.unpersist()
+                    p.unpersist(blocking=True)
             except Exception:
                 pass
 
@@ -225,7 +225,15 @@ def run(
             if store.is_valid(name, fp):
                 return store.read(spark, name)
             store.invalidate(name)
-            return store.write(make(), name, extra={"fingerprint": fp})
+            made = make()
+            out = store.write(made, name, extra={"fingerprint": fp})
+            # the stage is on disk now — drop any caches the operator
+            # pinned internally (e.g. link_mentions' mention table)
+            for p in getattr(made, "_kgc_pinned", []):
+                p.unpersist()
+            if made.storageLevel.useMemory or made.storageLevel.useDisk:
+                made.unpersist()
+            return out
         # No store: persist as the stage boundary.  Stage outputs are
         # consumed by several downstream branches (typing + triples);
         # the boundary both avoids recomputing the UDF stages per
@@ -236,6 +244,7 @@ def run(
 
         df = make().persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(df)
+        pinned.extend(getattr(df, "_kgc_pinned", []))
         return df
 
     segs_all = stage(
@@ -275,6 +284,14 @@ def run(
         "triples",
         lambda: triples.dedup_triples(ents.unionByName(seg_types)),
     )
+    # per-document view for the JSON-LD sink: dedup scoped to the doc so
+    # every rendered file is self-contained (an entity's @type/name node
+    # appears in EACH doc that references it, like the reference's
+    # per-document outputs) — the global `triples` table stays the
+    # storage-efficient representation.
+    doc_trip = ents.unionByName(seg_types).dropDuplicates(
+        ["doc_id", "subj", "pred", "obj"]
+    )
     types_df, props_df = vocab.builtin_vocab(spark)
     ctx = vocab.context_table(types_df, props_df)
 
@@ -285,6 +302,7 @@ def run(
         "linked": linked,
         "canonical": linked_canon,
         "triples": trip,
+        "doc_triples": doc_trip,
         "context": ctx,
         "quarantine": quar,
     }

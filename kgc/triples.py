@@ -393,6 +393,113 @@ def assemble_graph(triples: DataFrame) -> DataFrame:
     )
 
 
+# Predicates whose values are ALWAYS arrays in the reference's emitted
+# JSON-LD even when single-element (converter.go emission shape).  The
+# triple table stores scalar-list elements as repeated (s, p, item)
+# triples, so arity must be restored at render time.
+_ALWAYS_LIST_PREDS = {"participants"}
+
+# Predicates coerced to integers on render — exactly the terms the
+# @context table types as xsd:integer (kgc.vocab.context_table:
+# range endswith /Integer).  flatten/props_to_triples store all
+# literals as strings; the @context datatype recovers the JSON number.
+_INT_PREDS = {"position"}
+
+
+def render_jsonld_nested(triples: DataFrame) -> DataFrame:
+    """A2 nested render — the inverse of kgc.golden.flatten_node.
+
+    (doc_id, jsonld) where jsonld is the reference CLI's combined
+    output shape (cmd/cli/main.go:205-217): {"@context":
+    "https://schema.org", "@graph": [<typed node per segment>]}, each
+    node rebuilt from its triples:
+
+    * blank nodes ('subj/pred' and 'subj/pred/i') fold back into nested
+      objects / arrays-of-objects at their recorded positions;
+    * node-typed objects that are NOT path-blank (e.g. 'ent:…' edges
+      from the entity pipeline) render as {"@id": …} references and
+      their own triples become additional @graph nodes;
+    * keys sort alphabetically ('@context' < '@type' < letters), the
+      order Go's json.Marshal gives map keys — byte-comparable with the
+      committed fixtures;
+    * repeated scalar triples regroup into arrays (order not stored in
+      the triple table → rendered sorted; _ALWAYS_LIST_PREDS keeps
+      single-element arrays as arrays);
+    * _INT_PREDS literals become JSON numbers per the @context
+      datatype.
+
+    Grouped per document (applyInPandas): assembly is pure local work
+    after one shuffle on doc_id — the same exchange A1 already pays.
+    """
+    import json as _json
+    from collections import defaultdict
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("jsonld", T.StringType()),
+        ]
+    )
+
+    def _build(children: dict, subj: str) -> dict:
+        node: dict = {}
+        lists: dict = {}
+        scalars: dict = {}
+        for p, o, t in children.get(subj, []):
+            if t == "node":
+                single = f"{subj}/{p}"
+                if o == single:
+                    node[p] = _build(children, o)
+                elif o.startswith(single + "/"):
+                    idx = int(o[len(single) + 1 :])
+                    lists.setdefault(p, {})[idx] = _build(children, o)
+                else:
+                    scalars.setdefault(p, []).append({"@id": o})
+            else:
+                v: object = o
+                if p in _INT_PREDS:
+                    try:
+                        v = int(o)
+                    except ValueError:
+                        pass
+                scalars.setdefault(p, []).append(v)
+        for p, d in lists.items():
+            node[p] = [d[i] for i in sorted(d)]
+        for p, vals in scalars.items():
+            if len(vals) == 1 and p not in _ALWAYS_LIST_PREDS:
+                node[p] = vals[0]
+            else:
+                node[p] = sorted(vals, key=_json.dumps)
+        return dict(sorted(node.items()))
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        nodes = []
+        for seg_id in sorted(pdf["seg_id"].unique()):
+            g = pdf[pdf["seg_id"] == seg_id]
+            children = defaultdict(list)
+            refd = set()
+            for r in g.itertuples(index=False):
+                children[r.subj].append((r.pred, r.obj, r.obj_type))
+                # only PATH-BLANK children are consumed by nesting;
+                # plain node references ({"@id": …}, e.g. ent: edges)
+                # leave the target as its own @graph node
+                if r.obj_type == "node" and r.obj.startswith(f"{r.subj}/{r.pred}"):
+                    refd.add(r.obj)
+            roots = sorted(s for s in children if s not in refd)
+            for root in roots:
+                node = {"@context": "https://schema.org", **_build(children, root)}
+                nodes.append(dict(sorted(node.items())))
+        doc = {"@context": "https://schema.org", "@graph": nodes}
+        return pd.DataFrame(
+            {"doc_id": [doc_id], "jsonld": [_json.dumps(doc, ensure_ascii=False, sort_keys=True)]}
+        )
+
+    return triples.groupBy("doc_id").applyInPandas(_assemble, out_schema)
+
+
 def render_jsonld(triples: DataFrame) -> DataFrame:
     """A2 JSON-LD text render: (doc_id, jsonld) with
     {"@context": "https://schema.org", "@graph": [ {subj,pred,obj}... ]}.

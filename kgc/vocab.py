@@ -6,13 +6,16 @@ maps (internal/schema/schema.go:38-112) and looks entities up with a
 (schema.go:121-163).  Relationally the fallback collapses into ONE
 normalized equi-join: both sides keyed on lower(local-name).
 
-``load_schemaorg`` reads any schema.org-style JSON-LD dump with
-``spark.read.json`` (multiLine) → explode @graph → two small DataFrames
-(types, properties), cached and broadcast at join sites.  When no dump
-is on disk (this sandbox ships none we may copy), ``builtin_vocab``
-supplies the deterministic subset covering every type/property the
-reference's converter actually emits (converter.go:147,257,276,295,
-315-339) — tens of rows, same schema.
+``load_schemaorg`` reads the real schema.org JSON-LD dump (the
+reference ships it at data/schemaorg-current-https.jsonld — read in
+place, ~910 types / ~1479 properties) with ``spark.read.json``
+(multiLine, explicit string schema so polymorphic fields arrive as raw
+JSON text) → explode @graph → two small DataFrames (types,
+properties), cached and broadcast at join sites.  ``builtin_vocab``
+remains the dump-free deterministic subset covering every
+type/property the reference's converter actually emits
+(converter.go:147,257,276,295,315-339) — tens of rows, same schema —
+used by the pipeline so it runs without the dump on disk.
 """
 
 from __future__ import annotations

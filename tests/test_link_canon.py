@@ -225,3 +225,82 @@ def test_pipeline_determinism(spark):
     t2 = pipeline.run(spark, docs2, max_tokens=50)["triples"]
     assert t1.exceptAll(t2).count() == 0
     assert t2.exceptAll(t1).count() == 0
+
+
+def test_pipeline_quarantine_and_release(spark):
+    """C5/E6: token-guard violations and unparseable docs route to the
+    quarantine table; release() drops every pinned stage cache."""
+    rows = [
+        ("good", [("text", "alpha beta gamma", None, 0)]),
+        ("empty", []),
+        # a 30-token single span with seg_token_limit=8 below forces a
+        # token_limit_exceeded quarantine row (packer max_tokens=20
+        # keeps the segment at 20 > 8)
+        ("toolong", [("text", " ".join(f"w{i}" for i in range(30)), None, 0)]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    pinned_before = jsc.getPersistentRDDs().size()
+    stages = pipeline.run(spark, docs, max_tokens=20, seg_token_limit=8)
+    quar = {(r["doc_id"], r["stage"], r["reason"]) for r in stages["quarantine"].collect()}
+    assert ("empty", "parse", "empty_document") in quar
+    assert any(d == "toolong" and s == "segment" and r == "token_limit_exceeded"
+               for d, s, r in quar)
+    # quarantined segments are excluded from the healthy flow
+    assert stages["segments"].filter(F.col("doc_id") == "toolong").count() == 0
+    # the good doc flows through
+    assert stages["segments"].filter(F.col("doc_id") == "good").count() > 0
+
+    # unpersist discipline: release() drops every cache the run pinned
+    # (compare against the pre-run count — session fixtures cache too)
+    stages["triples"].count()
+    assert jsc.getPersistentRDDs().size() > pinned_before
+    pipeline.release(stages)
+    assert jsc.getPersistentRDDs().size() <= pinned_before
+
+
+def test_pipeline_resume_invalidates_on_input_change(spark, tmp_path):
+    """G8 + ADVICE r1: a committed stage is only served on resume when
+    the input fingerprint matches; changed input recomputes."""
+    from kgc.checkpoint import StageStore
+
+    docs1 = synth.generate_documents(spark, n_docs=20)
+    store = StageStore(tmp_path / "st")
+    t1 = pipeline.run(spark, docs1, max_tokens=50, store=store)["triples"]
+    n1 = t1.count()
+    fp1 = store.manifest("segments")["fingerprint"]
+
+    # same input → same fingerprint, stage served from the store
+    t1b = pipeline.run(spark, docs1, max_tokens=50, store=store)["triples"]
+    assert store.manifest("segments")["fingerprint"] == fp1
+    assert t1b.exceptAll(t1).count() == 0
+
+    # different input → fingerprint mismatch, stage recomputed
+    docs2 = synth.generate_documents(spark, n_docs=35)
+    t2 = pipeline.run(spark, docs2, max_tokens=50, store=store)["triples"]
+    assert store.manifest("segments")["fingerprint"] != fp1
+    assert t2.count() != n1
+
+
+def test_exact_link_non_ascii_alias(spark):
+    """ADVICE r1: the pandas-UDF scanner (Python re.UNICODE) and the
+    Catalyst dictionary normalization ((?U) Java regex) must agree on
+    non-ASCII surfaces — 'Müller' / 'café' keys have to equi-join."""
+    from kgc.mentions import detect_mentions
+
+    segs = spark.createDataFrame(
+        [("d1", 0, "Herr Müller besucht das café gern")],
+        "doc_id string, seg_id int, seg_text string",
+    )
+    adf = spark.createDataFrame(
+        [("Müller", "E_M", "Person", 1.0), ("Café", "E_C", "Place", 0.9)],
+        "alias string, entity_id string, entity_type string, weight double",
+    )
+    ment = detect_mentions(segs, ["Müller", "Café"])
+    linked = link.link_mentions(ment, adf, fuzzy=False)
+    got = {(r["alias"], r["entity_id"]) for r in linked.collect()}
+    assert ("müller", "E_M") in got or ("muller", "E_M") in got, got
+    assert ("café", "E_C") in got or ("cafe", "E_C") in got, got
