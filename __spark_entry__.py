@@ -599,13 +599,21 @@ def q_segments_multispan(spark, sf_dir):
 
 
 def q_ann_pandas(spark, sf_dir):
-    """NumPy-matmul ANN twin of q_ann_topk (pandas/Arrow path)."""
-    from kgc.simsearch import topk_bruteforce_pandas
+    """NumPy-matmul ANN twin of q_ann_topk — the corpus-streaming shape:
+    only the 20 queries are collected/broadcast; the corpus flows
+    through mapInPandas partial top-k (BLAS per Arrow batch) and a
+    window merge.  Same contract as ann_topk, same oracle."""
+    from kgc.simsearch import topk_blocked_pandas
 
     e = _read(spark, sf_dir, "embeddings")
-    corpus = [(r["vec_id"], list(r["embedding"])) for r in e.collect()]
-    q = e.filter(F.col("vec_id") < 20)
-    return topk_bruteforce_pandas(q, corpus, k=5)
+    q_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 20).collect()
+    ]
+    out = topk_blocked_pandas(q_rows, e, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
 
 
 def q_jsonld_render(spark, sf_dir):
@@ -758,10 +766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts": q_top_parts,
         "user_journeys": q_user_journeys,
+        "ann_pandas": q_ann_pandas,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
-        "ann_pandas": q_ann_pandas,
         "jsonld_render": q_jsonld_render,
         "golden_pr": q_golden_pr,
         "golden_pr_pdf": q_golden_pr_pdf,
@@ -1209,6 +1217,10 @@ r AS (SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine FROM scored)
 SELECT query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
 FROM r QUALIFY rank <= 5"""
+
+    # the blocked-pandas path is exact with the same total order →
+    # same oracle as the Catalyst brute force
+    q["ann_pandas"] = q["ann_topk"]
 
     q["embed_signature"] = f"""
 SELECT vec_id, {_sql_hyperplane_sig('embedding', 16)} AS bucket

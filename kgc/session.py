@@ -60,12 +60,30 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
+        # Shuffle/spill scratch on tmpfs when available: on a real
+        # cluster every executor writes shuffle blocks to its OWN local
+        # SSD; in local[N] all "executors" share one disk, which
+        # serializes shuffle I/O and poisons N-vs-4N scaling numbers
+        # with an artifact the cluster doesn't have.  RAM-backed
+        # scratch is the faithful stand-in (and our shuffles are a few
+        # GB against 126G of tmpfs).  Override with SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _local_dir() -> str:
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "kgc-spark-local")
+    return "/tmp"
 
 
 def _cpus() -> int:

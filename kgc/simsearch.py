@@ -167,3 +167,71 @@ def topk_bruteforce_pandas(
         F.col(q_id).cast("long").alias("query_id"), F.col(q_vec).alias("qv")
     )
     return q.mapInPandas(score, out_schema)
+
+
+def topk_blocked_pandas(
+    query_rows: list[tuple],
+    corpus: DataFrame,
+    k: int = 5,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k with the broadcast side FLIPPED: the (small) query
+    set ships to every executor; the (huge) corpus streams through
+    mapInPandas in Arrow batches and never leaves its partitions.
+
+    Each batch emits a partial top-k per query (same total order:
+    cosine DESC, neighbor_id ASC — so merging partials is exact); the
+    only shuffle is the final window merge over ≤ n_queries × k ×
+    n_batches rows.  This is the 100 TB shape: corpus-side scan is
+    embarrassingly parallel, driver never holds the corpus
+    (topk_bruteforce_pandas collects it — fine only when the corpus IS
+    the small side).
+
+    query_rows: [(id, [floats])] — collected by the caller, tiny.
+    """
+    import numpy as np
+
+    qids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in query_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    sc = corpus.sparkSession.sparkContext
+    b_q = sc.broadcast((qids, Qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        bqids, bQn = b_q.value
+        for pdf in batches:
+            cids = pdf["neighbor_id"].to_numpy()
+            C = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            S = np.round(bQn @ Cn.T, 6)  # (queries, batch)
+            for qi in range(S.shape[0]):
+                s, ids = S[qi], cids
+                mask = ids != bqids[qi]
+                order = np.lexsort((ids[mask], -s[mask]))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": bqids[qi],
+                        "neighbor_id": ids[mask][order],
+                        "cosine": s[mask][order],
+                    }
+                )
+
+    c = corpus.select(
+        F.col(c_id).cast("long").alias("neighbor_id"), F.col(c_vec).alias("cv")
+    )
+    partial = c.mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -167,3 +167,27 @@ def test_pandas_ann_matches_catalyst(spark, emb):
     e = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect())
     p = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in pnd.collect())
     assert e == p
+
+
+def test_blocked_ann_matches_catalyst(spark, emb):
+    """Corpus-streaming variant (queries broadcast, corpus never
+    collected): exact parity with the Catalyst brute force including
+    cosine values, across multiple corpus partitions (partial top-k
+    merge must be exact)."""
+    q_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    blocked = simsearch.topk_blocked_pandas(q_rows, emb.repartition(7), k=5)
+    exact = simsearch.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    )
+    e = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in exact.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in blocked.collect()
+    )
+    assert e == b
