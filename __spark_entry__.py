@@ -530,10 +530,14 @@ def q_top_parts(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.sum(cents).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
     )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort/shuffle), THEN the rank window over the 10
+    # survivors.  A bare global row_number window would single-partition
+    # the whole agg output — harmless at 25 brands, a bottleneck if the
+    # group key were high-cardinality.
+    top = agg.orderBy(F.col("revenue_cents").desc(), F.col("p_brand").asc()).limit(10)
     w = Window.orderBy(F.col("revenue_cents").desc(), F.col("p_brand").asc())
-    return agg.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rank") <= 10
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def q_user_journeys(spark, sf_dir):
@@ -595,6 +599,33 @@ def q_segments_multispan(spark, sf_dir):
     ]
     return segs.select(
         *scalar, F.concat_ws(",", F.col("span_ids").cast("array<string>")).alias("span_ids_csv")
+    )
+
+
+def q_quarantine(spark, sf_dir):
+    """C5/E6 per-stage quarantine table (error.go:7-33 taxonomy as
+    rows, not exceptions): pack at 32 ws-tokens, guard at 24 — every
+    segment in (24, 32] tokens routes to the quarantine table with
+    stage='segment', reason='token_limit_exceeded' and the offending
+    count in detail; unparseable (empty) docs would land as
+    stage='parse'.  Poison rows become data, the healthy flow
+    continues — the 10^12-doc posture."""
+    from kgc.parsers import text_to_spans
+    from kgc.pipeline import quarantine_table
+    from kgc.segment import segment_documents, token_guard
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", text_to_spans("text").alias("spans")
+    )
+    segs = segment_documents(d, max_tokens=32)
+    guarded = token_guard(segs, max_tokens=24)
+    quar = quarantine_table(d, guarded, token_limit=24)
+    return quar.select(
+        "doc_id",
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        "stage",
+        "reason",
+        "detail",
     )
 
 
@@ -767,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts": q_top_parts,
         "user_journeys": q_user_journeys,
         "ann_pandas": q_ann_pandas,
+        "quarantine": q_quarantine,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -941,6 +973,27 @@ SELECT doc_id, (c - 1)::BIGINT AS seg_id,
        'paragraph' AS meta_type
 FROM w, unnest(generate_series(1, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS u(c)
 WHERE len(words) > 32"""
+
+    q["quarantine"] = r"""
+WITH w AS (SELECT doc_id, text,
+  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+FROM documents),
+seg AS (
+  SELECT doc_id, 0::BIGINT AS seg_id, len(words) AS n_tokens
+  FROM w WHERE len(words) <= 32
+  UNION ALL
+  SELECT doc_id, (c - 1)::BIGINT AS seg_id,
+         len(list_slice(words, (c - 1) * 32 + 1, c * 32)) AS n_tokens
+  FROM w, unnest(generate_series(1, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS u(c)
+  WHERE len(words) > 32)
+SELECT doc_id, seg_id, 'segment' AS stage, 'token_limit_exceeded' AS reason,
+       'n_tokens=' || n_tokens || ' limit=24' AS detail
+FROM seg WHERE n_tokens > 24
+UNION ALL
+SELECT doc_id, NULL::BIGINT AS seg_id, 'parse' AS stage,
+       'empty_document' AS reason, NULL::VARCHAR AS detail
+FROM documents WHERE text IS NULL OR length(text) = 0"""
 
     q["valid_dates"] = r"""
 WITH d AS (SELECT o_orderkey,

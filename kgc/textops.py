@@ -34,14 +34,16 @@ def norm_tokens(col: Column | str) -> Column:
 
 
 def token_count_ws(col: Column | str) -> Column:
-    """T1 whitespace token count (tokenizer.go:8-10 semantics)."""
+    """T1 whitespace token count (tokenizer.go:8-10 semantics).
+
+    Runs of non-whitespace (= Go strings.Fields count): Spark's trim
+    strips only ASCII spaces, so the old split(trim(x)) form kept a
+    phantom '' token on trailing '\\n'/'\\t'.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
-    return (
-        F.when(c.isNull() | (F.length(t) == 0), F.lit(0))
-        .otherwise(F.size(F.split(t, r"(?U)\s+")))
-        .cast("int")
-    )
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(r"(?U)\S+"), 0)), F.lit(0)
+    ).cast("int")
 
 
 def token_count_bpe(col: Column | str) -> Column:

@@ -59,15 +59,15 @@ def split_tokens_py(text: str | None) -> list[str]:
 def count_tokens(col: Column | str) -> Column:
     """Whitespace token count as a pure Catalyst expression (T1).
 
-    split(trim(x), ws) yields [''] for empty input, hence the guard.
+    Counts runs of non-whitespace — exactly Go strings.Fields
+    semantics.  (The earlier split(trim(x), ws) form over-counted by
+    one on trailing '\\n'/'\\t': Spark's trim strips only ASCII
+    spaces, so the split kept a phantom '' element.)
     """
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
-    return (
-        F.when(c.isNull() | (F.length(t) == 0), F.lit(0))
-        .otherwise(F.size(F.split(t, _WS_RE)))
-        .cast("int")
-    )
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(r"(?U)\S+"), 0)), F.lit(0)
+    ).cast("int")
 
 
 def split_tokens(col: Column | str) -> Column:
