@@ -304,9 +304,20 @@ def q_connected_components(spark, sf_dir):
 
 
 def q_suggest_props(spark, sf_dir):
-    from kgc.vocab import builtin_vocab, suggest_properties
+    """V3 over the builtin subset.  The raw synthetic text contains no
+    builtin label (round 1's run was vacuously green at 0 rows), so
+    each doc's text is salted with one deterministic label — the
+    substring theta-join then has real hits to prove."""
+    from kgc.vocab import _PROPERTIES, builtin_vocab, suggest_properties
 
-    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("seg_text"))
+    labels = F.array(*[F.lit(l) for l, *_ in _PROPERTIES])
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" see "),
+            F.element_at(labels, (F.col("doc_id") % len(_PROPERTIES) + 1).cast("int")),
+        ).alias("seg_text"),
+    )
     _, props = builtin_vocab(spark)
     return suggest_properties(d, props).select("doc_id", "label")
 
@@ -1081,11 +1092,15 @@ SELECT (r_regionkey + 1000)::BIGINT, m.mn::BIGINT
 FROM region JOIN m ON r_regionkey = n_regionkey"""
 
     prop_labels = ", ".join(f"('{label}')" for label, *_ in _PROPERTIES)
+    label_list = ", ".join(f"'{label}'" for label, *_ in _PROPERTIES)
     q["suggest_props"] = f"""
-WITH props(label) AS (SELECT * FROM (VALUES {prop_labels}))
+WITH props(label) AS (SELECT * FROM (VALUES {prop_labels})),
+d AS (SELECT doc_id,
+  text || ' see ' || list_extract([{label_list}], (doc_id % {len(_PROPERTIES)})::INT + 1) AS seg_text
+FROM documents)
 SELECT d.doc_id, p.label
-FROM documents d, props p
-WHERE contains(lower(d.text), lower(p.label))"""
+FROM d, props p
+WHERE contains(lower(d.seg_text), lower(p.label))"""
 
     q["context_table"] = ctx_rows
 
