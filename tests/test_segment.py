@@ -37,7 +37,11 @@ class TestTokenizerPy:
 
 class TestTokenizerSpark:
     def test_matches_python(self, spark):
-        texts = ["a b  c", "", "  ", "l'arrêt, dit-il.", "x$y+z=w", "a.b,c-d", None]
+        # trailing '\n'/'\t' regression: Spark trim strips only ASCII
+        # spaces, so the old split(trim(x)) count read "hello world\n"
+        # as 3 tokens (phantom '' element)
+        texts = ["a b  c", "", "  ", "l'arrêt, dit-il.", "x$y+z=w", "a.b,c-d", None,
+                 "hello world\n", "\ttabbed lead", "mid\nnewline\n", " \n\t "]
         df = spark.createDataFrame([(t,) for t in texts], "t string")
         rows = df.select(
             count_tokens("t").alias("n"), split_tokens("t").alias("toks")
