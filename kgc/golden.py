@@ -149,17 +149,14 @@ def raw_props(node: dict[str, Any]) -> dict[str, Any]:
 
 
 def load_pdf_page_spans(name: str = "jean1.pdf") -> list[dict[str, Any]]:
-    """Pre-extracted page spans for the PDF fixture (R8, pdf.go:38-52).
+    """Reconstructed page spans for the PDF fixture (R8, pdf.go:38-52).
 
-    The reference extracts one text block per PDF page; the target
-    corpus contract (input_hint) likewise carries PDFs PRE-EXTRACTED as
-    spans — the raw-byte decode is the stubbed step (parse_pdf_py: no
-    pdf lib ships in this container).  For the committed jean1.pdf
-    fixture the per-page text is reconstructed deterministically from
-    the golden output: page i = the i-th @graph node's top-level string
-    fields joined in sorted-key order.  Everything downstream of
-    extraction — span packing, segment/store alignment, E3
-    normalization, P/R — runs for real on these spans.
+    Page i = the i-th @graph node's top-level string fields joined in
+    sorted-key order — a deterministic page-shaped stand-in corpus
+    that does not depend on the 964 KB binary.  The REAL raw-byte
+    decode lives in kgc.pdf (pure-stdlib extractor); q_golden_pr_pdf
+    and parsers.pdf_to_spans use it — this reconstruction remains for
+    the packer-alignment unit test.
     """
     data = json.loads(GOLDEN_FILES[name].read_text(encoding="utf-8"))
     spans = []

@@ -1,0 +1,540 @@
+"""R8 — minimal pure-stdlib PDF text extractor.
+
+The reference parses PDFs with github.com/ledongthuc/pdf and emits one
+plain-text block per page (internal/parser/pdf.go:16-58: GetPlainText
+per page, no layout reconstruction).  No PDF library ships in this
+container, so this module implements the subset that mainstream word
+processors emit — enough to process the committed jean1.pdf fixture
+from raw bytes:
+
+* object scan by regex (no xref walking — works for incremental /
+  linearized files), /ObjStm object-stream expansion;
+* FlateDecode (zlib) with optional PNG predictors;
+* page-tree walk in /Kids order;
+* content-stream interpretation of the text operators (BT/ET, Tf, Tm,
+  Td/TD/T*, Tj, TJ, ', ") — runs on the same baseline concatenate,
+  a y-change starts a new line (Word emits absolute Tm per run);
+* byte→unicode via the font: Type0/Identity-H through the /ToUnicode
+  CMap (bfchar + bfrange, 2-byte codes), simple fonts through
+  WinAnsiEncoding (cp1252) or latin-1.
+
+Anything outside the subset (other filters, encrypted files, fonts
+with neither ToUnicode nor a standard encoding) raises
+``PdfUnsupportedError`` — at pipeline level a poison document routes
+to the quarantine table (C5) instead of killing the job.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["PdfUnsupportedError", "extract_pages"]
+
+
+class PdfUnsupportedError(ValueError):
+    """Raised for PDF features outside the supported subset."""
+
+
+class Name(str):
+    """A /Name token — distinct from bare operator keywords so the
+    content-stream interpreter can tell `/F1` (operand) from `Tf`
+    (operator); hashes/compares as plain str for dict keys."""
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Ref({self.num})"
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Recursive-descent parser for PDF object syntax over bytes."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos : self.pos + 1]
+            if c in (b"%",):
+                eol = d.find(b"\n", self.pos)
+                self.pos = len(d) if eol < 0 else eol + 1
+            elif c in _WS.split(b" ")[0] or c == b" " or c in (b"\t", b"\r", b"\n"):
+                self.pos += 1
+            elif c in (b"\x00", b"\x0c"):
+                self.pos += 1
+            else:
+                return
+
+    def peek(self) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos : self.pos + 2]
+
+    def parse(self):
+        self._skip_ws()
+        d = self.data
+        c = d[self.pos : self.pos + 1]
+        if c == b"<":
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if c == b"(":
+            return self._lit_string()
+        if c == b"/":
+            return self._name()
+        if c == b"[":
+            return self._array()
+        if c in b"+-.0123456789":
+            return self._number_or_ref()
+        # bare keyword (true/false/null or a content operator)
+        return self._keyword()
+
+    def _dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            key = self.parse()
+            val = self.parse()
+            if isinstance(key, str):
+                out[key] = val
+
+    def _array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse())
+
+    def _name(self) -> str:
+        self.pos += 1
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start : self.pos]
+        # #xx hex escapes in names (e.g. /Matisse#20ITC)
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+        return Name(raw.decode("latin-1"))
+
+    def _lit_string(self) -> bytes:
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            b = d[self.pos]
+            if b == 0x5C:  # backslash
+                self.pos += 1
+                e = d[self.pos : self.pos + 1]
+                esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12}
+                if e in esc:
+                    out.append(esc[e])
+                    self.pos += 1
+                elif e.isdigit():
+                    oct_s = b""
+                    for _ in range(3):
+                        if d[self.pos : self.pos + 1].isdigit():
+                            oct_s += d[self.pos : self.pos + 1]
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e in (b"\n", b"\r"):  # line continuation
+                    self.pos += 1
+                    if e == b"\r" and d[self.pos : self.pos + 1] == b"\n":
+                        self.pos += 1
+                else:
+                    out += e
+                    self.pos += 1
+            elif b == 0x28:  # (
+                depth += 1
+                out.append(b)
+                self.pos += 1
+            elif b == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return bytes(out)
+                out.append(b)
+                self.pos += 1
+            else:
+                out.append(b)
+                self.pos += 1
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos : end])
+        self.pos = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def _number_or_ref(self):
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos : self.pos + 1] in b"+-.0123456789":
+            self.pos += 1
+        tok = d[start : self.pos]
+        # lookahead for "<gen> R" — an indirect reference
+        m = re.match(rb"\s+(\d+)\s+R\b", d[self.pos : self.pos + 16])
+        if m and b"." not in tok and not tok.startswith((b"+", b"-")):
+            self.pos += m.end()
+            return Ref(int(tok))
+        return float(tok) if b"." in tok else int(tok)
+
+    def _keyword(self) -> str:
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:  # lone delimiter (shouldn't happen) — skip
+            self.pos += 1
+        return d[start : self.pos].decode("latin-1")
+
+
+def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    if predictor < 10:
+        return data
+    row_len = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - row_len + 1, row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + row_len])
+        if ft == 2:  # Up — the only filter xpdf/word writers emit here
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft != 0:
+            raise PdfUnsupportedError(f"PNG predictor filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+class _Doc:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objs: dict[int, tuple[object, bytes | None]] = {}
+        self._scan()
+
+    def _scan(self) -> None:
+        for m in re.finditer(rb"(?<![0-9])(\d+)\s+\d+\s+obj\b", self.data):
+            num = int(m.group(1))
+            lex = _Lexer(self.data, m.end())
+            try:
+                val = lex.parse()
+            except Exception:
+                continue
+            stream = None
+            lex._skip_ws()
+            if self.data[lex.pos : lex.pos + 6] == b"stream":
+                p = lex.pos + 6
+                if self.data[p : p + 2] == b"\r\n":
+                    p += 2
+                elif self.data[p : p + 1] == b"\n":
+                    p += 1
+                length = val.get("Length") if isinstance(val, dict) else None
+                if isinstance(length, Ref):
+                    length = None  # resolve after full scan; use endstream
+                if isinstance(length, int):
+                    stream = self.data[p : p + length]
+                else:
+                    end = self.data.find(b"endstream", p)
+                    stream = self.data[p:end].rstrip(b"\r\n")
+            self.objs[num] = (val, stream)
+        self._expand_objstm()
+
+    def _expand_objstm(self) -> None:
+        for num in list(self.objs):
+            val, stream = self.objs[num]
+            if isinstance(val, dict) and val.get("Type") == "ObjStm" and stream:
+                body = self._decode(val, stream)
+                first = self.resolve(val.get("First", 0))
+                count = self.resolve(val.get("N", 0))
+                header = _Lexer(body[:first])
+                pairs = []
+                for _ in range(int(count)):
+                    onum = header.parse()
+                    off = header.parse()
+                    pairs.append((int(onum), int(off)))
+                for onum, off in pairs:
+                    if onum in self.objs:
+                        continue  # top-level wins
+                    lex = _Lexer(body, first + off)
+                    try:
+                        self.objs[onum] = (lex.parse(), None)
+                    except Exception:
+                        pass
+
+    def resolve(self, v):
+        seen = 0
+        while isinstance(v, Ref):
+            v = self.objs.get(v.num, (None, None))[0]
+            seen += 1
+            if seen > 32:
+                raise PdfUnsupportedError("reference cycle")
+        return v
+
+    def _decode(self, d: dict, stream: bytes) -> bytes:
+        filt = self.resolve(d.get("Filter"))
+        if filt is None:
+            return stream
+        filters = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(d.get("DecodeParms")) or self.resolve(d.get("DP"))
+        parms_list = parms if isinstance(parms, list) else [parms]
+        out = stream
+        for i, f in enumerate(filters):
+            f = self.resolve(f)
+            if f != "FlateDecode":
+                raise PdfUnsupportedError(f"filter {f}")
+            out = zlib.decompress(out)
+            p = self.resolve(parms_list[i]) if i < len(parms_list) else None
+            if isinstance(p, dict) and p.get("Predictor"):
+                out = _png_unpredict(
+                    out,
+                    int(self.resolve(p["Predictor"])),
+                    int(self.resolve(p.get("Columns", 1))),
+                )
+        return out
+
+    def stream_bytes(self, ref) -> bytes:
+        v = ref
+        while isinstance(v, Ref):
+            num = v.num
+            val, stream = self.objs.get(num, (None, None))
+            if stream is not None and isinstance(val, dict):
+                length = val.get("Length")
+                if isinstance(length, Ref):
+                    n = self.resolve(length)
+                    if isinstance(n, int):
+                        stream = stream[:n]
+                return self._decode(val, stream)
+            v = val
+        raise PdfUnsupportedError("not a stream")
+
+    # ------------------------------------------------------------ pages ---
+    def pages(self) -> list[dict]:
+        root = None
+        for val, _ in self.objs.values():
+            if isinstance(val, dict) and val.get("Type") == "Catalog":
+                root = val
+                break
+        if root is None:
+            raise PdfUnsupportedError("no /Catalog")
+        out: list[dict] = []
+
+        def walk(node):
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            if node.get("Type") == "Page":
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("Kids", [])) or []:
+                walk(kid)
+
+        walk(root.get("Pages"))
+        return out
+
+
+# ------------------------------------------------------------------ fonts ---
+def _cmap_decoder(doc: _Doc, to_unicode) -> "callable":
+    """2-byte-code decoder from a /ToUnicode CMap (bfchar + bfrange)."""
+    body = doc.stream_bytes(to_unicode).decode("latin-1", "replace")
+    table: dict[int, str] = {}
+
+    def u16(hexs: str) -> str:
+        b = bytes.fromhex(hexs)
+        return b.decode("utf-16-be", "replace")
+
+    for m in re.finditer(r"beginbfchar(.*?)endbfchar", body, re.S):
+        for src, dst in re.findall(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            table[int(src, 16)] = u16(dst)
+    for m in re.finditer(r"beginbfrange(.*?)endbfrange", body, re.S):
+        chunk = m.group(1)
+
+        # array form FIRST, removing each matched entry so the plain
+        # three-hex regex below can't fire on hexes inside the bracket
+        # (e.g. "<0355> <0358> [<002C> <003B> <003A> <002E>]" must not
+        # read "<002C> <003B> <003A>" as a range entry)
+        def _take_array(am: "re.Match") -> str:
+            lo_i = int(am.group(1), 16)
+            for j, dst in enumerate(re.findall(r"<([0-9A-Fa-f]+)>", am.group(2))):
+                table[lo_i + j] = u16(dst)
+            return " "
+
+        chunk = re.sub(
+            r"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]",
+            _take_array,
+            chunk,
+            flags=re.S,
+        )
+        for lo, hi, dst in re.findall(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", chunk
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            width = len(dst)
+            for c in range(lo_i, hi_i + 1):
+                table[c] = u16(format(base + (c - lo_i), f"0{width}x"))
+
+    def decode(raw: bytes) -> str:
+        return "".join(
+            table.get(int.from_bytes(raw[i : i + 2], "big"), "�")
+            for i in range(0, len(raw) - len(raw) % 2, 2)
+        )
+
+    return decode
+
+
+def _simple_decoder(encoding) -> "callable":
+    codec = "cp1252" if encoding == "WinAnsiEncoding" else "latin-1"
+
+    def decode(raw: bytes) -> str:
+        return raw.decode(codec, "replace")
+
+    return decode
+
+
+def _font_decoders(doc: _Doc, page: dict) -> dict[str, "callable"]:
+    res = doc.resolve(page.get("Resources")) or {}
+    fonts = doc.resolve(res.get("Font")) or {}
+    out: dict[str, "callable"] = {}
+    for name, fref in fonts.items():
+        f = doc.resolve(fref)
+        if not isinstance(f, dict):
+            continue
+        if f.get("ToUnicode") is not None:
+            try:
+                out[name] = _cmap_decoder(doc, f["ToUnicode"])
+                continue
+            except PdfUnsupportedError:
+                pass
+        if f.get("Subtype") == "Type0":
+            raise PdfUnsupportedError(f"Type0 font {name} without usable ToUnicode")
+        enc = doc.resolve(f.get("Encoding"))
+        out[name] = _simple_decoder(enc if isinstance(enc, str) else None)
+    return out
+
+
+# ------------------------------------------------------- content streams ---
+_TEXT_OPS = {"Tj", "TJ", "'", '"', "Tf", "Tm", "Td", "TD", "T*", "BT", "ET"}
+
+
+def _page_text(doc: _Doc, page: dict) -> str:
+    contents = doc.resolve(page.get("Contents"))
+    refs = contents if isinstance(contents, list) else [page.get("Contents")]
+    body = b"\n".join(doc.stream_bytes(r) for r in refs if r is not None)
+    decoders = _font_decoders(doc, page)
+
+    lex = _Lexer(body)
+    stack: list = []
+    cur = None  # current decoder
+    y = None  # current baseline
+    lines: list[list[str]] = [[]]
+
+    def show(raw: bytes) -> None:
+        if cur is None:
+            lines[-1].append(raw.decode("latin-1", "replace"))
+        else:
+            lines[-1].append(cur(raw))
+
+    def newline_if_moved(new_y) -> None:
+        nonlocal y
+        if y is not None and new_y is not None and abs(new_y - y) > 0.5:
+            lines.append([])
+        y = new_y
+
+    n = len(body)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        try:
+            tok = lex.parse()
+        except Exception:
+            break
+        if isinstance(tok, Name) or not isinstance(tok, str):
+            stack.append(tok)  # operand (name, number, string, array)
+            continue
+        if tok not in _TEXT_OPS:
+            # operator we don't interpret — drop its operands
+            if tok == "BI":  # inline image: skip to EI
+                ei = body.find(b"EI", lex.pos)
+                lex.pos = n if ei < 0 else ei + 2
+            stack.clear()
+            continue
+        if tok == "Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], Name):
+                cur = decoders.get(str(stack[-2]))
+            stack.clear()
+        elif tok == "Tm":
+            if len(stack) >= 6 and isinstance(stack[-1], (int, float)):
+                newline_if_moved(float(stack[-1]))
+            stack.clear()
+        elif tok in ("Td", "TD"):
+            if len(stack) >= 1 and isinstance(stack[-1], (int, float)):
+                ty = float(stack[-1])
+                if abs(ty) > 0.5:
+                    newline_if_moved((y or 0.0) + ty)
+            stack.clear()
+        elif tok == "T*":
+            lines.append([])
+            stack.clear()
+        elif tok == "Tj":
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            stack.clear()
+        elif tok in ("'", '"'):
+            lines.append([])
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            stack.clear()
+        elif tok == "TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        show(el)
+                    elif isinstance(el, (int, float)) and el < -180:
+                        lines[-1].append(" ")
+            stack.clear()
+        elif tok in ("BT", "ET"):
+            stack.clear()
+
+    text = "\n".join("".join(parts) for parts in lines)
+    # collapse intra-line runs of spaces; strip decorative-only lines
+    out_lines = [re.sub(r"[ \t ]+", " ", ln).strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in out_lines if ln)
+
+
+def extract_pages(data: bytes) -> list[str]:
+    """PDF bytes → one plain-text string per page (pdf.go:38-52 shape)."""
+    if not data.startswith(b"%PDF"):
+        raise PdfUnsupportedError("not a PDF")
+    if b"/Encrypt" in data[-2048:]:
+        raise PdfUnsupportedError("encrypted PDF")
+    doc = _Doc(data)
+    return [_page_text(doc, p) for p in doc.pages()]

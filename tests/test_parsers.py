@@ -152,3 +152,58 @@ class TestMarkdownBlocks:
             ("heading", "Setext"),
             ("paragraph", "para"),
         ]
+
+
+class TestPdfExtract:
+    """R8 from raw bytes (kgc.pdf) on the committed jean1.pdf fixture."""
+
+    FIXTURE = "/root/reference/test/jean1.pdf"
+
+    def test_jean1_pages_and_text(self):
+        from kgc.pdf import extract_pages
+
+        data = open(self.FIXTURE, "rb").read()
+        pages = extract_pages(data)
+        assert len(pages) == 26  # /Type/Pages /Count 26
+        # zero undecodable glyphs across the whole document
+        assert sum(p.count("�") for p in pages) == 0
+        joined = "\n".join(pages)
+        # Type0/ToUnicode fonts (headings) and WinAnsi fonts (body)
+        for needle in [
+            "L’EVANGILE SELON SAINT JEAN",   # Cambria Type0, CMap-decoded
+            "PROLOGUE",
+            "L’ANNONCE DE LA NOUVELLE ÉCONOMIE",  # CMap bfrange array form
+            "Samarie",                        # WinAnsi body text
+            "témoignage est véridique",       # last page, accented cp1252
+        ]:
+            assert needle in joined, needle
+
+    def test_poison_pdf_raises_unsupported(self):
+        from kgc.pdf import PdfUnsupportedError, extract_pages
+
+        try:
+            extract_pages(b"not a pdf at all")
+            raise AssertionError("expected PdfUnsupportedError")
+        except PdfUnsupportedError:
+            pass
+
+    def test_spark_binary_dispatch(self, spark):
+        """parse_documents routes pdf rows through the binary column;
+        poison bytes yield empty spans (→ parse-stage quarantine)."""
+        from kgc.parsers import parse_documents
+
+        data = open(self.FIXTURE, "rb").read()
+        df = spark.createDataFrame(
+            [("d1", "", "jean1.pdf", bytearray(data)),
+             ("d2", "plain text line", "notes.txt", None),
+             ("d3", "", "broken.pdf", bytearray(b"%PDF-1.4 garbage"))],
+            "doc_id string, text string, source string, payload binary",
+        )
+        out = parse_documents(df, source_col="source", pdf_col="payload")
+        rows = {r["doc_id"]: r["spans"] for r in out.collect()}
+        assert len(rows["d1"]) == 26
+        assert rows["d1"][0]["kind"] == "page"
+        assert rows["d1"][0]["offset"] == 0
+        assert "PROLOGUE" in rows["d1"][0]["text"]
+        assert [s["text"] for s in rows["d2"]] == ["plain text line"]
+        assert rows["d3"] == []  # poison → empty spans, job survives
