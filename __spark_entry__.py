@@ -640,6 +640,41 @@ def q_quarantine(spark, sf_dir):
     )
 
 
+def q_media_triples(spark, sf_dir):
+    """Interleaved-media path with a full oracle: documents get one
+    deterministic media span each → media manifest (dedup on ref) →
+    Arrow-batched fake decode (md5-derived features/dims — the real
+    pillow/librosa decode swaps in on a cluster image) → KG triples
+    (media:<ref> @type/width/height).  The DuckDB oracle reproduces
+    the md5 arithmetic bit-exactly."""
+    from kgc.media import decode_media, media_table_from_spans, media_triples
+
+    d = _docs(spark, sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    prefix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("img://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("aud://"))
+        .otherwise(F.lit("vid://"))
+    )
+    docs = d.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                kind.alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(prefix, F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    feats = decode_media(media_table_from_spans(docs), mode="fake")
+    return media_triples(feats).select("subj", "pred", "obj", "obj_type")
+
+
 def q_ann_pandas(spark, sf_dir):
     """NumPy-matmul ANN twin of q_ann_topk — the corpus-streaming shape:
     only the 20 queries are collected/broadcast; the corpus flows
@@ -822,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_journeys": q_user_journeys,
         "ann_pandas": q_ann_pandas,
         "quarantine": q_quarantine,
+        "media_triples": q_media_triples,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1017,6 +1053,23 @@ UNION ALL
 SELECT doc_id, NULL::BIGINT AS seg_id, 'parse' AS stage,
        'empty_document' AS reason, NULL::VARCHAR AS detail
 FROM documents WHERE text IS NULL OR length(text) = 0"""
+
+    q["media_triples"] = r"""
+WITH m AS (SELECT DISTINCT
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    (CASE doc_id % 3 WHEN 0 THEN 'img://' WHEN 1 THEN 'aud://' ELSE 'vid://' END)
+      || doc_id AS media_ref
+FROM documents),
+d AS (SELECT media_ref, kind,
+       64 + ascii(substr(md5(media_ref), 1, 1)) % 64 AS width,
+       64 + ascii(substr(md5(media_ref), 32, 1)) % 64 AS height
+FROM m)
+SELECT 'media:' || media_ref AS subj, '@type' AS pred,
+       upper(substr(kind, 1, 1)) || substr(kind, 2) AS obj, 'literal' AS obj_type FROM d
+UNION ALL
+SELECT 'media:' || media_ref, 'width', width::VARCHAR, 'literal' FROM d
+UNION ALL
+SELECT 'media:' || media_ref, 'height', height::VARCHAR, 'literal' FROM d"""
 
     q["valid_dates"] = r"""
 WITH d AS (SELECT o_orderkey,
