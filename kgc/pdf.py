@@ -66,13 +66,11 @@ class _Lexer:
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
         while self.pos < n:
-            c = d[self.pos : self.pos + 1]
-            if c in (b"%",):
+            b = d[self.pos]
+            if b == 0x25:  # % comment runs to end of line
                 eol = d.find(b"\n", self.pos)
-                self.pos = len(d) if eol < 0 else eol + 1
-            elif c in _WS.split(b" ")[0] or c == b" " or c in (b"\t", b"\r", b"\n"):
-                self.pos += 1
-            elif c in (b"\x00", b"\x0c"):
+                self.pos = n if eol < 0 else eol + 1
+            elif b in _WS:
                 self.pos += 1
             else:
                 return
