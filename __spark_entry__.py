@@ -640,6 +640,23 @@ def q_quarantine(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse cells + n_probe inverted lists) — the
+    third scale path beside brute force and hyperplane LSH.  Iterative
+    centroid training isn't SQL-expressible → rows-only check; recall
+    vs brute force is pytest-gated on planted clusters
+    (tests/test_dataops.py::test_ivf_ann_recall_vs_bruteforce)."""
+    from kgc.simsearch import topk_ivf, train_centroids
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_centroids=16, iters=2)
+    q = e.filter(F.col("vec_id") < 20)
+    out = topk_ivf(q, e, cents, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_media_triples(spark, sf_dir):
     """Interleaved-media path with a full oracle: documents get one
     deterministic media span each → media manifest (dedup on ref) →
@@ -858,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pandas": q_ann_pandas,
         "quarantine": q_quarantine,
         "media_triples": q_media_triples,
+        "ann_ivf": q_ann_ivf,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,

@@ -235,3 +235,124 @@ def topk_blocked_pandas(
     return partial.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ----------------------------------------------------------------- IVF ---
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means coarse quantizer, pure DataFrame ops.
+
+    Init = the vectors of the n_centroids smallest ids (seedless,
+    reproducible).  Each Lloyd round: assign every vector to its
+    nearest centroid (broadcast-join + window argmax — centroids ride
+    as DATA, never as k-wide unrolled codegen), then recompute means
+    by posexploding the dims and groupBy(cluster, dim).avg — two
+    bounded shuffles per round; only n_centroids × dim floats ever
+    reach the driver.  Means are rounded to 6 dp so assignment is
+    stable across partial-aggregation orders.
+    """
+    dim = len(corpus.select(c_vec).first()[0])
+    cents = [
+        (i, [round(float(x), 6) for x in r[c_vec]])
+        for i, r in enumerate(
+            corpus.select(c_vec).orderBy(F.col(c_id).asc()).limit(n_centroids).collect()
+        )
+    ]
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in cents], "cid int, centroid array<double>"
+            )
+        )
+        assigned = _assign(corpus, cdf, c_id, c_vec)
+        means = (
+            assigned.select("cid", F.posexplode(F.col("cv")).alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["dim"]] = round(r["m"], 6)
+        # empty clusters keep their previous centroid
+        cents = [(cid, by_cid.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def _assign(corpus: DataFrame, cdf: DataFrame, c_id: str, c_vec: str) -> DataFrame:
+    """(cid, neighbor_id, cv): nearest centroid per vector by cosine."""
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv")
+    )
+    scored = c.crossJoin(cdf).select(
+        "neighbor_id", "cv", "cid",
+        F.round(cosine(F.col("cv"), F.col("centroid")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("cid", "neighbor_id", "cv")
+    )
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the corpus shuffles ONCE onto its coarse
+    cell (inverted lists); each query probes its n_probe nearest cells
+    and exact-scores only those lists.  Same output contract as
+    topk_bruteforce / topk_lsh (query_id, neighbor_id, cosine, rank).
+
+    At 100 TB: the posting-list join is an equi-join on a bounded
+    uniform-ish key (cells are capped by the quantizer), queries ride
+    broadcast-side, and nothing pairwise ever leaves a cell — the same
+    blocked-before-pairwise posture as minhash/simhash dedup.
+    """
+    spark = corpus.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in centroids], "cid int, centroid array<double>"
+        )
+    )
+    lists = _assign(corpus, cdf, c_id, c_vec)
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    qscored = q.crossJoin(cdf).select(
+        "query_id", "qv", "cid",
+        F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = probes.join(lists, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
