@@ -214,7 +214,10 @@ def run(
 
     if "spans" not in docs.columns:
         src = "source" if "source" in docs.columns else None
-        docs = parsers.parse_documents(docs, text_col="text", source_col=src)
+        pdf = "payload" if "payload" in docs.columns else None
+        docs = parsers.parse_documents(
+            docs, text_col="text", source_col=src, pdf_col=pdf
+        )
     docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "spans")
 
     fp = input_fingerprint(docs) if store is not None else None
