@@ -83,7 +83,13 @@ def minhash_near_duplicates(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band keys only — the heavy shingle arrays do NOT ride the shuffle.
-    banded = lsh_band_keys(sh, "sh", ["doc_id"], k, bands)
+    # The band table is consumed TWICE (x and y sides of the self-join);
+    # without a persist each side recomputes the lane explode + two
+    # aggregations (measured 11s → 8s at sf0.1 from this one pin).
+    # It is tiny: |docs| × bands rows of (id, band, md5-hex).
+    banded = lsh_band_keys(sh, "sh", ["doc_id"], k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
@@ -101,7 +107,7 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    out._kgc_pinned = [sh]  # released by kgc.pipeline.release
+    out._kgc_pinned = [sh, banded]  # released by kgc.pipeline.release
     return out
 
 
