@@ -54,6 +54,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_STREAM_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stage_stream_dir(sf_dir: str, table: str) -> str:
+    """Spark's streaming file source requires a DIRECTORY; the testdata
+    tables are single parquet files — stage a copy into a per-process
+    tmp dir (cached so repeated invocations in one session reuse it)."""
+    key = (sf_dir, table)
+    if key not in _STREAM_STAGE_CACHE:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"kgc_stream_{table}_")
+        shutil.copy(f"{sf_dir}/{table}.parquet", f"{d}/part-0.parquet")
+        _STREAM_STAGE_CACHE[key] = d
+    return _STREAM_STAGE_CACHE[key]
+
+
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mutated copies of doc_id<25 (id+100000) — guarantees
     near-duplicate pairs for the dedup operators."""
@@ -833,6 +851,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
+def q_streaming_segments(spark, sf_dir):
+    """Streaming twin of q_segments: the SAME parse→segment stages
+    (kgc.parsers.text_to_spans → kgc.segment.segment_documents) run on
+    a file-source stream, drained with availableNow into a memory sink,
+    and checked against the SAME DuckDB oracle as the batch query —
+    bit-exact evidence that the narrow stages are engine-mode agnostic
+    (operator unification, kgc/streaming.py module docstring)."""
+    from kgc.parsers import text_to_spans
+    from kgc.segment import segment_documents
+    from kgc.streaming import DOCS_SCHEMA, run_available_now
+
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(
+        _stage_stream_dir(sf_dir, "documents")
+    )
+    segs = segment_documents(
+        src.select("doc_id", text_to_spans("text").alias("spans")), max_tokens=32
+    )
+    return run_available_now(
+        segs.select(
+            "doc_id",
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            "seg_text",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "meta_type",
+        ),
+        "kgc_streaming_segments",
+    )
+
+
+def q_streaming_rollup(spark, sf_dir):
+    """Streaming twin of the events rollup: watermarked tumbling-window
+    aggregation (kgc.streaming.stream_event_rollup) drained with
+    availableNow in complete output mode.  The finite drain is a single
+    micro-batch, so the watermark never advances past any event and the
+    result must equal the batch GROUP BY bit-exactly — checked vs the
+    DuckDB oracle (count + integer-cents sum per event_type × hour)."""
+    from kgc.streaming import run_available_now, stream_event_rollup
+
+    roll = stream_event_rollup(
+        spark, _stage_stream_dir(sf_dir, "events"), window="1 hour"
+    )
+    out = run_available_now(roll, "kgc_streaming_rollup", output_mode="complete")
+    return out.select(
+        "event_type",
+        "win_start",
+        "win_end",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_type": q_file_type,
@@ -876,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine": q_quarantine,
         "media_triples": q_media_triples,
         "ann_ivf": q_ann_ivf,
+        "streaming_segments": q_streaming_segments,
+        "streaming_rollup": q_streaming_rollup,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1050,6 +1121,18 @@ SELECT doc_id, (c - 1)::BIGINT AS seg_id,
        'paragraph' AS meta_type
 FROM w, unnest(generate_series(1, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS u(c)
 WHERE len(words) > 32"""
+
+    # The streaming twin must reproduce the batch segmentation exactly —
+    # same oracle, same hash (operator unification evidence).
+    q["streaming_segments"] = q["segments"]
+
+    q["streaming_rollup"] = """
+SELECT event_type,
+       date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2, 3"""
 
     q["quarantine"] = r"""
 WITH w AS (SELECT doc_id, text,
