@@ -851,6 +851,118 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
+def _doc_frag(start: int):
+    """A single-line [A-Za-z0-9 ]-only fragment of the doc text —
+    deterministic in BOTH engines (substr → strip punctuation/newlines →
+    squeeze spaces → trim), used to build markdown/HTML test documents
+    whose parse is independently derivable in SQL."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.col("text"), start, 100), "[^A-Za-z0-9 ]", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+
+
+_SQL_FRAG = (
+    "trim(regexp_replace(regexp_replace(substr(text, {start}, 100), "
+    "'[^A-Za-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def q_md_spans(spark, sf_dir):
+    """R6 end-to-end against an independent oracle: construct markdown
+    from each doc (ATX + setext headings, paragraph, fenced code,
+    blockquote, tight AND loose lists), parse with the goldmark-parity
+    walker (kgc.parsers.parse_markdown_py via Arrow UDF), and check the
+    emitted span sequence against expectations derived in pure SQL —
+    fence content skipped, tight items dropped, loose items and quote
+    inners emitted as paragraphs (markdown.go:28-50 semantics)."""
+    from kgc.parsers import markdown_to_spans
+
+    id_s = F.col("doc_id").cast("string")
+    f1, f2 = _doc_frag(1), _doc_frag(101)
+    md = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# Doc "), id_s),
+        F.lit(""),
+        F.concat(F.lit("p1 "), f1),
+        F.lit(""),
+        F.lit("```"),
+        f2,
+        F.lit("```"),
+        F.lit(""),
+        F.concat(F.lit("> q "), f2),
+        F.lit(""),
+        F.concat(F.lit("## S "), (F.col("doc_id") % 10).cast("string")),
+        F.lit(""),
+        F.concat(F.lit("Setext "), id_s),
+        F.lit("==="),
+        F.lit(""),
+        F.concat(F.lit("- t1 "), f1),
+        F.lit("- t2"),
+        F.lit(""),
+        F.lit("p2 tail"),
+        F.lit(""),
+        F.concat(F.lit("- l1 "), f2),
+        F.lit(""),
+        F.lit("- l2"),
+    )
+    parsed = _docs(spark, sf_dir).select(
+        "doc_id", markdown_to_spans(md).alias("spans")
+    )
+    # explode_outer + isNotNull: plain explode after a pandas-UDF array
+    # trips InferFiltersFromGenerate (UDF inlined into a JVM predicate).
+    return (
+        parsed.select("doc_id", F.posexplode_outer("spans").alias("pos", "span"))
+        .filter(F.col("span").isNotNull())
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+        )
+    )
+
+
+def q_html_spans(spark, sf_dir):
+    """R7 end-to-end against an independent oracle: construct HTML from
+    each doc, parse with the x/net/html-parity DOM walker
+    (kgc.parsers.parse_html_py via Arrow UDF), and check the post-order
+    span sequence — per-tag direct-text concatenation ('x'+'y' around a
+    nested span joins to 'xy'), children before parents (html.go:26-47)
+    — against expectations derived in pure SQL."""
+    from kgc.parsers import html_to_spans
+
+    id_s = F.col("doc_id").cast("string")
+    f1, f2 = _doc_frag(1), _doc_frag(101)
+    html = F.concat(
+        F.lit("<html><head><title>T"),
+        id_s,
+        F.lit("</title></head><body><h1>Doc "),
+        id_s,
+        F.lit("</h1><p>"),
+        f1,
+        F.lit("</p><div>x<span>"),
+        f2,
+        F.lit("</span>y</div></body></html>"),
+    )
+    parsed = _docs(spark, sf_dir).select("doc_id", html_to_spans(html).alias("spans"))
+    return (
+        parsed.select("doc_id", F.posexplode_outer("spans").alias("pos", "span"))
+        .filter(F.col("span").isNotNull())
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+        )
+    )
+
+
 def q_streaming_segments(spark, sf_dir):
     """Streaming twin of q_segments: the SAME parse→segment stages
     (kgc.parsers.text_to_spans → kgc.segment.segment_documents) run on
@@ -947,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "streaming_segments": q_streaming_segments,
         "streaming_rollup": q_streaming_rollup,
+        "md_spans": q_md_spans,
+        "html_spans": q_html_spans,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1125,6 +1239,39 @@ WHERE len(words) > 32"""
     # The streaming twin must reproduce the batch segmentation exactly —
     # same oracle, same hash (operator unification evidence).
     q["streaming_segments"] = q["segments"]
+
+    # Expected parse of the constructed markdown/HTML documents, derived
+    # independently in SQL (same frag construction as _doc_frag).
+    frag_cte = (
+        "f AS (SELECT doc_id, "
+        + _SQL_FRAG.format(start=1)
+        + " AS f1, "
+        + _SQL_FRAG.format(start=101)
+        + " AS f2 FROM documents)"
+    )
+    q["md_spans"] = f"""
+WITH {frag_cte}
+SELECT doc_id, pos, kind, text FROM (
+  SELECT doc_id, 0::BIGINT AS pos, 'heading' AS kind, 'Doc ' || doc_id AS text FROM f
+  UNION ALL SELECT doc_id, 1, 'paragraph', trim('p1 ' || f1) FROM f
+  UNION ALL SELECT doc_id, 2, 'paragraph', trim('q ' || f2) FROM f
+  UNION ALL SELECT doc_id, 3, 'heading', 'S ' || (doc_id % 10) FROM f
+  UNION ALL SELECT doc_id, 4, 'heading', 'Setext ' || doc_id FROM f
+  UNION ALL SELECT doc_id, 5, 'paragraph', 'p2 tail' FROM f
+  UNION ALL SELECT doc_id, 6, 'paragraph', trim('l1 ' || f2) FROM f
+  UNION ALL SELECT doc_id, 7, 'paragraph', 'l2' FROM f)"""
+
+    q["html_spans"] = f"""
+WITH {frag_cte}
+SELECT doc_id, pos, kind, text FROM (
+  SELECT doc_id, 0::BIGINT AS pos, 'title' AS kind, 'T' || doc_id AS text FROM f
+  UNION ALL SELECT doc_id, 1, 'head', '' FROM f
+  UNION ALL SELECT doc_id, 2, 'h1', 'Doc ' || doc_id FROM f
+  UNION ALL SELECT doc_id, 3, 'p', f1 FROM f
+  UNION ALL SELECT doc_id, 4, 'span', f2 FROM f
+  UNION ALL SELECT doc_id, 5, 'div', 'xy' FROM f
+  UNION ALL SELECT doc_id, 6, 'body', '' FROM f
+  UNION ALL SELECT doc_id, 7, 'html', '' FROM f)"""
 
     q["streaming_rollup"] = """
 SELECT event_type,
