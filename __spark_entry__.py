@@ -631,6 +631,83 @@ def q_segments_multispan(spark, sf_dir):
     )
 
 
+# interleaved-span construction shared by q_segments_interleaved and its
+# oracle: per doc, whitespace tokens are carved into text spans of cycling
+# widths [5,13,7,23,11] with a media span (cost 0) closing each cycle —
+# span i exists iff its token start offset 59*(i div 6) + P[i mod 6] is
+# inside the doc.  Deterministic and identically derivable in SQL.
+_IL_P = [0, 5, 18, 25, 48, 0]   # per-cycle token start offsets (media: 0)
+_IL_C = [5, 13, 7, 23, 11, 0]   # span token widths (media: 0)
+_IL_MAX = 30                     # packer budget; every width < budget
+
+
+def q_segments_interleaved(spark, sf_dir):
+    """S1/S3 over the north rule's exact input shape — interleaved
+    text + media span arrays (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) — packed by the reference-parity greedy fold
+    (segmenter.go:27-75 semantics: flush-before-exceed, flush-at-budget,
+    media spans cost 0 but ride seg_text as bare newlines and keep their
+    offset in span_ids).  The DuckDB oracle replays the fold as a
+    recursive CTE over (cost, span-order), so the driver hash-checks the
+    packing recurrence itself, not just row counts."""
+    from kgc.segment import segment_documents
+
+    p_arr = F.array(*[F.lit(x) for x in _IL_P])
+    c_arr = F.array(*[F.lit(x) for x in _IL_C])
+    t = F.size("toks").cast("bigint")
+
+    def start(i):
+        return F.floor(i / 6).cast("bigint") * 59 + F.element_at(
+            p_arr, (i % 6 + 1).cast("int")
+        ).cast("bigint")
+
+    def width(i):
+        return F.least(
+            F.element_at(c_arr, (i % 6 + 1).cast("int")).cast("bigint"),
+            t - start(i),
+        )
+
+    def mk_span(i):
+        is_media = i % 6 == 5
+        return F.struct(
+            F.when(is_media, F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_media, F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(
+                    F.slice("toks", (start(i) + 1).cast("int"), width(i).cast("int")),
+                    " ",
+                )
+            )
+            .alias("text"),
+            F.when(
+                is_media,
+                F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/"), i.cast("string")),
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    idx = F.sequence(F.lit(0).cast("bigint"), (F.floor(t / 59).cast("bigint") + 1) * 6)
+    docs = d.select(
+        "doc_id",
+        F.transform(F.filter(idx, lambda i: start(i) < t), mk_span).alias("spans"),
+    )
+    segs = segment_documents(docs, max_tokens=_IL_MAX)
+    return segs.select(
+        "doc_id",
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        "seg_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "meta_type",
+        F.concat_ws(",", F.col("span_ids").cast("array<string>")).alias("span_ids_csv"),
+    )
+
+
 def q_quarantine(spark, sf_dir):
     """C5/E6 per-stage quarantine table (error.go:7-33 taxonomy as
     rows, not exceptions): pack at 32 ws-tokens, guard at 24 — every
@@ -1061,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup": q_streaming_rollup,
         "md_spans": q_md_spans,
         "html_spans": q_html_spans,
+        "segments_interleaved": q_segments_interleaved,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1280,6 +1358,53 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS value_cents
 FROM events GROUP BY 1, 2, 3"""
+
+    # Interleaved multi-span packing: replay the greedy fold as a
+    # recursive CTE.  State per span = (seg, running, open); transitions
+    # mirror segmenter.go:39-64 — flush-before-exceed opens a new seg
+    # with this span, flush-at-budget closes the seg after it, media
+    # spans cost 0.  Same cycle constants as q_segments_interleaved.
+    q["segments_interleaved"] = r"""
+WITH RECURSIVE
+tok AS (SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+FROM documents),
+sp AS (
+  -- rn is DENSE span order (a cycle's trailing text spans may not exist
+  -- while its media span does — the packer walks the compacted array)
+  SELECT doc_id, i, cost, stext,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS rn
+  FROM (
+    SELECT doc_id, i,
+           CASE WHEN i % 6 = 5 THEN 0
+                ELSE least(([5,13,7,23,11,0])[(i % 6) + 1], len(toks) - st) END AS cost,
+           CASE WHEN i % 6 = 5 THEN ''
+                ELSE array_to_string(list_slice(toks, st + 1,
+                       st + least(([5,13,7,23,11,0])[(i % 6) + 1], len(toks) - st)), ' ')
+           END AS stext
+    FROM (SELECT doc_id, toks, i,
+                 59 * (i // 6) + ([0,5,18,25,48,0])[(i % 6) + 1] AS st
+          FROM tok, unnest(generate_series(0, (len(toks) // 59 + 1) * 6)) AS u(i))
+    WHERE st < len(toks))),
+state AS (
+  SELECT doc_id, i, rn, cost, stext,
+         0 AS seg, cost AS running, cost < 30 AS open
+  FROM sp WHERE rn = 0
+  UNION ALL
+  SELECT s.doc_id, p.i, p.rn, p.cost, p.stext,
+         CASE WHEN NOT s.open OR s.running + p.cost > 30 THEN s.seg + 1 ELSE s.seg END,
+         CASE WHEN NOT s.open OR s.running + p.cost > 30 THEN p.cost
+              ELSE s.running + p.cost END,
+         (CASE WHEN NOT s.open OR s.running + p.cost > 30 THEN p.cost
+               ELSE s.running + p.cost END) < 30
+  FROM state s JOIN sp p ON p.doc_id = s.doc_id AND p.rn = s.rn + 1)
+SELECT doc_id, seg::BIGINT AS seg_id,
+       string_agg(stext || chr(10), '' ORDER BY i) AS seg_text,
+       sum(cost)::BIGINT AS n_tokens,
+       NULL::VARCHAR AS meta_type,
+       string_agg(i::VARCHAR, ',' ORDER BY i) AS span_ids_csv
+FROM state GROUP BY doc_id, seg"""
 
     q["quarantine"] = r"""
 WITH w AS (SELECT doc_id, text,
