@@ -602,6 +602,31 @@ def q_pipeline_triples(spark, sf_dir):
     return stages["triples"]
 
 
+def q_pipeline_triples_sql(spark, sf_dir):
+    """The FULL pipeline (parse→segment→leftmost-longest mention scan→
+    exact top-1 link→alias-graph canonicalization→triple emit→dedup),
+    projected to its deterministic closure (subj, pred, obj, obj_type)
+    and hash-checked against a composite DuckDB oracle that replays
+    every stage: closed-form 200-token segmentation, a recursive-CTE
+    replay of the greedy non-overlapping dictionary scan
+    (kgc.mentions.scan_text_py), the link window, transitive closure
+    over surface-sharing dictionary entries (kgc.canon), and the E2/E3
+    emission rules.  q_pipeline_triples stays rows-only with full
+    lineage columns; this twin is the correctness gate."""
+    from kgc import pipeline
+
+    stages = pipeline.run(
+        spark,
+        # doc_id+text only: parser dispatch is pinned to the text path
+        # regardless of how `source` is named at a given SF
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        alias_df=_alias_df(spark),
+        max_tokens=200,
+        fuzzy=False,
+    )
+    return stages["triples"].select("subj", "pred", "obj", "obj_type")
+
+
 def q_segments_multispan(spark, sf_dir):
     """S1/S2 on the synthetic interleaved corpus (multi-span docs with
     media spans + oversized elements) — not SQL-expressible.
@@ -1139,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_spans": q_md_spans,
         "html_spans": q_html_spans,
         "segments_interleaved": q_segments_interleaved,
+        "pipeline_triples_sql": q_pipeline_triples_sql,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1405,6 +1431,106 @@ SELECT doc_id, seg::BIGINT AS seg_id,
        NULL::VARCHAR AS meta_type,
        string_agg(i::VARCHAR, ',' ORDER BY i) AS span_ids_csv
 FROM state GROUP BY doc_id, seg"""
+
+    # Full-pipeline composite oracle: every stage replayed in SQL.
+    # chain = recursive replay of the leftmost-longest non-overlapping
+    # dictionary scan (mentions.scan_text_py: try bigram, else unigram,
+    # else advance 1); reach = transitive closure over surface-sharing
+    # dictionary entries (canon.canonicalize_entities).
+    q["pipeline_triples_sql"] = (
+        "WITH RECURSIVE "
+        + _ALIAS_CTE
+        + r""",
+anorm AS (
+  SELECT DISTINCT
+    array_to_string(regexp_extract_all(lower(alias), '[^\W_]+'), ' ') AS alias,
+    entity_id, entity_type, weight
+  FROM aliases),
+w AS (SELECT doc_id::VARCHAR AS doc_id, text,
+  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+FROM documents),
+seg AS (
+  SELECT doc_id, 0::BIGINT AS seg_id, text || chr(10) AS seg_text
+  FROM w WHERE len(words) <= 200
+  UNION ALL
+  SELECT doc_id, (c - 1)::BIGINT,
+         array_to_string(list_slice(words, (c - 1) * 200 + 1, c * 200), ' ') || ' '
+  FROM w, unnest(generate_series(1, CAST(ceil(len(words) / 200.0) AS BIGINT))) AS u(c)
+  WHERE len(words) > 200),
+stok AS (SELECT doc_id, seg_id,
+         regexp_extract_all(lower(seg_text), '[^\W_]+') AS toks FROM seg),
+uni AS (SELECT DISTINCT alias FROM anorm WHERE NOT contains(alias, ' ')),
+bi  AS (SELECT DISTINCT alias FROM anorm WHERE contains(alias, ' ')),
+pos AS (
+  SELECT doc_id, seg_id, i - 1 AS p, toks[i] AS t1,
+         CASE WHEN i < len(toks) THEN toks[i] || ' ' || toks[i + 1] END AS t2,
+         len(toks) AS n
+  FROM stok, unnest(generate_series(1, len(toks))) AS u(i)),
+dec AS (
+  SELECT doc_id, seg_id, p, n,
+         CASE WHEN t2 IS NOT NULL AND t2 IN (SELECT alias FROM bi) THEN 2 ELSE 1 END AS step,
+         CASE WHEN t2 IS NOT NULL AND t2 IN (SELECT alias FROM bi) THEN t2
+              WHEN t1 IN (SELECT alias FROM uni) THEN t1 END AS hit_alias,
+         CASE WHEN t2 IS NOT NULL AND t2 IN (SELECT alias FROM bi) THEN 2
+              WHEN t1 IN (SELECT alias FROM uni) THEN 1 END AS n_toks
+  FROM pos),
+chain AS (
+  SELECT doc_id, seg_id, 0 AS p, len(toks) AS n FROM stok WHERE len(toks) > 0
+  UNION ALL
+  SELECT c.doc_id, c.seg_id, c.p + d.step, c.n
+  FROM chain c JOIN dec d
+    ON d.doc_id = c.doc_id AND d.seg_id = c.seg_id AND d.p = c.p
+  WHERE c.p + d.step < c.n),
+ment AS (
+  SELECT c.doc_id, c.seg_id, d.hit_alias AS alias, c.p AS tok_begin, d.n_toks
+  FROM chain c JOIN dec d
+    ON d.doc_id = c.doc_id AND d.seg_id = c.seg_id AND d.p = c.p
+  WHERE d.hit_alias IS NOT NULL),
+cand AS (
+  SELECT m.doc_id, m.seg_id, m.alias, m.tok_begin,
+         a.entity_id, a.entity_type,
+         a.weight * (1.0 + 0.1 * (m.n_toks - 1)) AS score
+  FROM ment m JOIN anorm a ON a.alias = m.alias),
+linked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, seg_id, tok_begin
+                                 ORDER BY score DESC, entity_id ASC) AS rk
+    FROM cand) WHERE rk = 1),
+edges AS (
+  SELECT x.entity_id AS src, y.entity_id AS dst
+  FROM (SELECT DISTINCT alias, entity_id FROM anorm) x
+  JOIN (SELECT DISTINCT alias, entity_id FROM anorm) y ON x.alias = y.alias),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+canonmap AS (SELECT node AS entity_id, min(r) AS canonical_id FROM reach GROUP BY node),
+lc AS (
+  SELECT l.doc_id, l.seg_id, l.alias, l.entity_type, c.canonical_id
+  FROM linked l JOIN canonmap c ON c.entity_id = l.entity_id),
+segtype AS (
+  SELECT s.doc_id, s.seg_id,
+         coalesce(CASE """
+        + main_type_pick
+        + r""" ELSE 'Thing' END, 'Thing') AS mt
+  FROM seg s LEFT JOIN (
+    SELECT doc_id, seg_id, list(DISTINCT entity_type) AS types
+    FROM lc GROUP BY doc_id, seg_id) v
+    ON v.doc_id = s.doc_id AND v.seg_id = s.seg_id)
+SELECT DISTINCT subj, pred, obj, obj_type FROM (
+  SELECT 'seg:' || doc_id || '#' || seg_id AS subj,
+         CASE entity_type WHEN 'Person' THEN 'mentions'
+              WHEN 'Place' THEN 'locations'
+              WHEN 'Event' THEN 'events' ELSE 'about' END AS pred,
+         'ent:' || canonical_id AS obj, 'node' AS obj_type FROM lc
+  UNION ALL
+  SELECT 'ent:' || canonical_id, '@type', entity_type, 'literal' FROM lc
+  UNION ALL
+  SELECT 'ent:' || canonical_id, 'name', alias, 'literal' FROM lc
+  UNION ALL
+  SELECT 'seg:' || doc_id || '#' || seg_id, '@type', mt, 'literal' FROM segtype)"""
+    )
 
     q["quarantine"] = r"""
 WITH w AS (SELECT doc_id, text,
