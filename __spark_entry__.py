@@ -762,9 +762,11 @@ def q_quarantine(spark, sf_dir):
 
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (k-means coarse cells + n_probe inverted lists) — the
-    third scale path beside brute force and hyperplane LSH.  Iterative
-    centroid training isn't SQL-expressible → rows-only check; recall
-    vs brute force is pytest-gated on planted clusters
+    third scale path beside brute force and hyperplane LSH.  Training
+    is deterministic (seedless init = smallest ids, means rounded 6dp),
+    so the DuckDB oracle UNROLLS the two Lloyd rounds and replays
+    assignment → means → probe → in-list top-k bit-exactly; recall vs
+    brute force is additionally pytest-gated on planted clusters
     (tests/test_dataops.py::test_ivf_ann_recall_vs_bruteforce)."""
     from kgc.simsearch import topk_ivf, train_centroids
 
@@ -1853,6 +1855,57 @@ FROM r QUALIFY rank <= 5"""
     # the blocked-pandas path is exact with the same total order →
     # same oracle as the Catalyst brute force
     q["ann_pandas"] = q["ann_topk"]
+
+    # IVF: deterministic k-means (init = 16 smallest ids, 2 Lloyd
+    # rounds, 6dp-rounded means/sims) unrolled as chained CTEs, then
+    # probe-4 + in-list top-5 — mirrors simsearch.train_centroids/_assign/
+    # topk_ivf exactly.
+    def _ivf_assign(src_filter: str, cent: str, out_id: str, out_vec: str) -> str:
+        return f"""(
+  SELECT {out_id}, {out_vec}, cid FROM (
+    SELECT {out_id}, {out_vec}, cid, {_SQL_COSINE} AS sim FROM (
+      SELECT m.vec_id AS {out_id}, m.e AS {out_vec}, i.cid,
+             {_sql_dot_norms('m.e', 'i.c')}
+      FROM emb m, {cent} i{src_filter}))
+  QUALIFY row_number() OVER (PARTITION BY {out_id} ORDER BY sim DESC, cid ASC) = 1)"""
+
+    def _ivf_means(assigned: str, prev: str) -> str:
+        return f"""(
+  SELECT p.cid, coalesce(g.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY dim) AS c FROM (
+      SELECT cid, dim, round(avg(e[dim]), 6) AS m
+      FROM {assigned}, unnest(generate_series(1, len(e))) AS u(dim)
+      GROUP BY cid, dim) GROUP BY cid) g ON g.cid = p.cid)"""
+
+    q["ann_ivf"] = f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+             FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+              list_transform(e, v -> round(v, 6)) AS c
+       FROM (SELECT vec_id, e FROM emb ORDER BY vec_id ASC LIMIT 16)),
+a1 AS {_ivf_assign('', 'c0', 'vec_id', 'e')},
+c1 AS {_ivf_means('a1', 'c0')},
+a2 AS {_ivf_assign('', 'c1', 'vec_id', 'e')},
+c2 AS {_ivf_means('a2', 'c1')},
+lists AS {_ivf_assign('', 'c2', 'vec_id', 'e')},
+probes AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT query_id, qe, cid, {_SQL_COSINE} AS sim FROM (
+      SELECT m.vec_id AS query_id, m.e AS qe, i.cid,
+             {_sql_dot_norms('m.e', 'i.c')}
+      FROM emb m, c2 i WHERE m.vec_id < 20))
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid ASC) <= 4),
+cand AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id, p.qe, l.e
+  FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.vec_id),
+sc AS (
+  SELECT DISTINCT query_id, neighbor_id, {_SQL_COSINE} AS cosine FROM (
+    SELECT query_id, neighbor_id, {_sql_dot_norms('qe', 'e')} FROM cand))
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM sc QUALIFY rank <= 5"""
 
     q["embed_signature"] = f"""
 SELECT vec_id, {_sql_hyperplane_sig('embedding', 16)} AS bucket
