@@ -75,6 +75,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # pipeline-backed queries pin stage caches that outlive the
+            # collect; drop them so 50+ queries don't stack persists
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
