@@ -627,6 +627,27 @@ def q_pipeline_triples_sql(spark, sf_dir):
     return stages["triples"].select("subj", "pred", "obj", "obj_type")
 
 
+def q_pipeline_interleaved(spark, sf_dir):
+    """The north-star sentence as one hash-checked query: interleaved
+    text + media documents (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) → greedy multi-span segmentation → mention scan
+    → exact link → canonicalization → (subj, pred, obj) triples.  The
+    DuckDB oracle composes the two proven recursive replays — the
+    packing fold (see segments_interleaved) feeding the leftmost-longest
+    dictionary scan, link window, alias-graph closure, and emission
+    rules (see pipeline_triples_sql)."""
+    from kgc import pipeline
+
+    stages = pipeline.run(
+        spark,
+        _interleaved_docs(spark, sf_dir),
+        alias_df=_alias_df(spark),
+        max_tokens=_IL_MAX,
+        fuzzy=False,
+    )
+    return stages["triples"].select("subj", "pred", "obj", "obj_type")
+
+
 def q_segments_multispan(spark, sf_dir):
     """S1/S2 on the synthetic interleaved corpus (multi-span docs with
     media spans + oversized elements) — not SQL-expressible.
@@ -666,17 +687,9 @@ _IL_C = [5, 13, 7, 23, 11, 0]   # span token widths (media: 0)
 _IL_MAX = 30                     # packer budget; every width < budget
 
 
-def q_segments_interleaved(spark, sf_dir):
-    """S1/S3 over the north rule's exact input shape — interleaved
-    text + media span arrays (doc_id, spans:array<struct<kind,text,
-    media_ref,offset>>) — packed by the reference-parity greedy fold
-    (segmenter.go:27-75 semantics: flush-before-exceed, flush-at-budget,
-    media spans cost 0 but ride seg_text as bare newlines and keep their
-    offset in span_ids).  The DuckDB oracle replays the fold as a
-    recursive CTE over (cost, span-order), so the driver hash-checks the
-    packing recurrence itself, not just row counts."""
-    from kgc.segment import segment_documents
-
+def _interleaved_docs(spark, sf_dir):
+    """(doc_id, spans) in the north rule's exact input shape, built
+    deterministically from the documents table (see _IL_* constants)."""
     p_arr = F.array(*[F.lit(x) for x in _IL_P])
     c_arr = F.array(*[F.lit(x) for x in _IL_C])
     t = F.size("toks").cast("bigint")
@@ -718,11 +731,24 @@ def q_segments_interleaved(spark, sf_dir):
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
     d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
     idx = F.sequence(F.lit(0).cast("bigint"), (F.floor(t / 59).cast("bigint") + 1) * 6)
-    docs = d.select(
+    return d.select(
         "doc_id",
         F.transform(F.filter(idx, lambda i: start(i) < t), mk_span).alias("spans"),
     )
-    segs = segment_documents(docs, max_tokens=_IL_MAX)
+
+
+def q_segments_interleaved(spark, sf_dir):
+    """S1/S3 over the north rule's exact input shape — interleaved
+    text + media span arrays (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) — packed by the reference-parity greedy fold
+    (segmenter.go:27-75 semantics: flush-before-exceed, flush-at-budget,
+    media spans cost 0 but ride seg_text as bare newlines and keep their
+    offset in span_ids).  The DuckDB oracle replays the fold as a
+    recursive CTE over (cost, span-order), so the driver hash-checks the
+    packing recurrence itself, not just row counts."""
+    from kgc.segment import segment_documents
+
+    segs = segment_documents(_interleaved_docs(spark, sf_dir), max_tokens=_IL_MAX)
     return segs.select(
         "doc_id",
         F.col("seg_id").cast("bigint").alias("seg_id"),
@@ -1167,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_spans": q_html_spans,
         "segments_interleaved": q_segments_interleaved,
         "pipeline_triples_sql": q_pipeline_triples_sql,
+        "pipeline_interleaved": q_pipeline_interleaved,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1398,7 +1425,7 @@ tok AS (SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
 FROM documents),
-sp AS (
+sp AS MATERIALIZED (
   -- rn is DENSE span order (a cycle's trailing text spans may not exist
   -- while its media span does — the packer walks the compacted array)
   SELECT doc_id, i, cost, stext,
@@ -1439,7 +1466,7 @@ FROM state GROUP BY doc_id, seg"""
     # dictionary scan (mentions.scan_text_py: try bigram, else unigram,
     # else advance 1); reach = transitive closure over surface-sharing
     # dictionary entries (canon.canonicalize_entities).
-    q["pipeline_triples_sql"] = (
+    _pts_prefix = (
         "WITH RECURSIVE "
         + _ALIAS_CTE
         + r""",
@@ -1459,8 +1486,65 @@ seg AS (
   SELECT doc_id, (c - 1)::BIGINT,
          array_to_string(list_slice(words, (c - 1) * 200 + 1, c * 200), ' ') || ' '
   FROM w, unnest(generate_series(1, CAST(ceil(len(words) / 200.0) AS BIGINT))) AS u(c)
-  WHERE len(words) > 200),
-stok AS (SELECT doc_id, seg_id,
+  WHERE len(words) > 200)"""
+    )
+
+    # Same scan→link→canon→emit replay over the INTERLEAVED packing
+    # (the segments_interleaved recursive fold provides `seg`): the
+    # north-star sentence — interleaved text+media docs → KG triples —
+    # as one hash-checked composite.
+    _pti_prefix = (
+        "WITH RECURSIVE "
+        + _ALIAS_CTE
+        + r""",
+anorm AS (
+  SELECT DISTINCT
+    array_to_string(regexp_extract_all(lower(alias), '[^\W_]+'), ' ') AS alias,
+    entity_id, entity_type, weight
+  FROM aliases),
+tok AS (SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+FROM documents),
+sp AS MATERIALIZED (
+  SELECT doc_id, i, cost, stext,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS rn
+  FROM (
+    SELECT doc_id, i,
+           CASE WHEN i % 6 = 5 THEN 0
+                ELSE least(([5,13,7,23,11,0])[(i % 6) + 1], len(toks) - st) END AS cost,
+           CASE WHEN i % 6 = 5 THEN ''
+                ELSE array_to_string(list_slice(toks, st + 1,
+                       st + least(([5,13,7,23,11,0])[(i % 6) + 1], len(toks) - st)), ' ')
+           END AS stext
+    FROM (SELECT doc_id, toks, i,
+                 59 * (i // 6) + ([0,5,18,25,48,0])[(i % 6) + 1] AS st
+          FROM tok, unnest(generate_series(0, (len(toks) // 59 + 1) * 6)) AS u(i))
+    WHERE st < len(toks))),
+packst AS (
+  SELECT doc_id, i, rn, cost, stext,
+         0 AS seg, cost AS running, cost < 30 AS open
+  FROM sp WHERE rn = 0
+  UNION ALL
+  SELECT s.doc_id, p.i, p.rn, p.cost, p.stext,
+         CASE WHEN NOT s.open OR s.running + p.cost > 30 THEN s.seg + 1 ELSE s.seg END,
+         CASE WHEN NOT s.open OR s.running + p.cost > 30 THEN p.cost
+              ELSE s.running + p.cost END,
+         (CASE WHEN NOT s.open OR s.running + p.cost > 30 THEN p.cost
+               ELSE s.running + p.cost END) < 30
+  FROM packst s JOIN sp p ON p.doc_id = s.doc_id AND p.rn = s.rn + 1),
+seg AS MATERIALIZED (
+  SELECT doc_id::VARCHAR AS doc_id, seg::BIGINT AS seg_id,
+         string_agg(stext || chr(10), '' ORDER BY i) AS seg_text
+  FROM packst GROUP BY doc_id, seg)"""
+    )
+
+    # shared tail: seg(doc_id VARCHAR, seg_id, seg_text) → mention scan
+    # (recursive leftmost-longest) → exact link → alias-graph closure →
+    # triple emission
+    _scan_link_emit = (
+        r""",
+stok AS MATERIALIZED (SELECT doc_id, seg_id,
          regexp_extract_all(lower(seg_text), '[^\W_]+') AS toks FROM seg),
 uni AS (SELECT DISTINCT alias FROM anorm WHERE NOT contains(alias, ' ')),
 bi  AS (SELECT DISTINCT alias FROM anorm WHERE contains(alias, ' ')),
@@ -1469,7 +1553,7 @@ pos AS (
          CASE WHEN i < len(toks) THEN toks[i] || ' ' || toks[i + 1] END AS t2,
          len(toks) AS n
   FROM stok, unnest(generate_series(1, len(toks))) AS u(i)),
-dec AS (
+dec AS MATERIALIZED (
   SELECT doc_id, seg_id, p, n,
          CASE WHEN t2 IS NOT NULL AND t2 IN (SELECT alias FROM bi) THEN 2 ELSE 1 END AS step,
          CASE WHEN t2 IS NOT NULL AND t2 IN (SELECT alias FROM bi) THEN t2
@@ -1533,6 +1617,9 @@ SELECT DISTINCT subj, pred, obj, obj_type FROM (
   UNION ALL
   SELECT 'seg:' || doc_id || '#' || seg_id, '@type', mt, 'literal' FROM segtype)"""
     )
+
+    q["pipeline_triples_sql"] = _pts_prefix + _scan_link_emit
+    q["pipeline_interleaved"] = _pti_prefix + _scan_link_emit
 
     q["quarantine"] = r"""
 WITH w AS (SELECT doc_id, text,
