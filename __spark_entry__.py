@@ -977,8 +977,10 @@ def parse_props_json_entry(spark, rows):
 
 # ----------------------------------------------------------------- entry ---
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full KG-construction pipeline on sf0.001."""
-    return q_pipeline_triples(spark, "/root/testdata/sf0.001")
+    """Flagship: full KG-construction pipeline over interleaved
+    text + media documents (the north rule's input shape) on sf0.001;
+    oracle-checked at sf0.01 as `pipeline_interleaved`."""
+    return q_pipeline_interleaved(spark, "/root/testdata/sf0.001")
 
 
 def _doc_frag(start: int):

@@ -65,6 +65,7 @@ def main() -> None:
             n_triples = n
 
     run("pipeline_triples", em.q_pipeline_triples)
+    run("pipeline_interleaved", em.q_pipeline_interleaved)
     run("segments", em.q_segments)
     run("mentions", em.q_mentions)
     run("link_topk", em.q_link_topk)
