@@ -109,6 +109,7 @@ _MD_FENCE = re.compile(r"^\s{0,3}(```+|~~~+)\s*\S*\s*$")
 _MD_BLOCKQUOTE = re.compile(r"^\s{0,3}>\s?(.*)$")
 _MD_LIST_ITEM = re.compile(r"^\s{0,3}(?:[-*+]|\d{1,9}[.)])\s+(?P<content>.*)$")
 _MD_SETEXT = re.compile(r"^(=+|-+)\s*$")
+_MD_INDENT = re.compile(r"^(?: {4}|\t)")
 
 
 def parse_markdown_py(text: str) -> list[dict]:
@@ -202,6 +203,15 @@ def parse_markdown_py(text: str) -> list[dict]:
         if in_fence is not None:
             if f and f.group(1)[0] == in_fence:
                 in_fence = None
+            i += 1
+            continue
+        # indented code block (CommonMark ≥4 spaces / tab): goldmark
+        # parses it as KindCodeBlock, which the reference walk does NOT
+        # emit (markdown.go:28-50 emits only headings/paragraphs).  An
+        # indented line cannot interrupt a paragraph, so it only counts
+        # as code when no block is open — otherwise it's a lazy
+        # paragraph continuation.
+        if not block and line.strip() and _MD_INDENT.match(line):
             i += 1
             continue
         # blockquote unwrap (possibly repeated '>' for nesting)

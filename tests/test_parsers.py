@@ -111,6 +111,26 @@ class TestMarkdownBlocks:
         spans = parse_markdown_py("~~~\ncode\n~~~\np\n")
         assert [s["text"] for s in spans] == ["p"]
 
+    def test_indented_code_block_not_emitted(self):
+        # goldmark: ≥4-space indent = KindCodeBlock → not in the walk
+        md = "# H\n\npara one\n\n    indented code\n    more code\n\nafter\n"
+        spans = parse_markdown_py(md)
+        assert [(s["kind"], s["text"]) for s in spans] == [
+            ("heading", "H"),
+            ("paragraph", "para one"),
+            ("paragraph", "after"),
+        ]
+
+    def test_indented_continuation_stays_in_paragraph(self):
+        # an indented line cannot interrupt a paragraph (CommonMark):
+        # it's a lazy continuation, not code
+        spans = parse_markdown_py("lead line\n    continued\n\nnext\n")
+        assert [s["text"] for s in spans] == ["lead linecontinued", "next"]
+
+    def test_tab_indented_code_not_emitted(self):
+        spans = parse_markdown_py("\tcode()\n\npara\n")
+        assert [s["text"] for s in spans] == ["para"]
+
     def test_blockquote_inner_paragraph_emitted(self):
         md = "> quoted line one\n> and two\n\nplain\n"
         spans = parse_markdown_py(md)
