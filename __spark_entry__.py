@@ -648,6 +648,28 @@ def q_pipeline_interleaved(spark, sf_dir):
     return stages["triples"].select("subj", "pred", "obj", "obj_type")
 
 
+def q_pipeline_interleaved_media(spark, sf_dir):
+    """pipeline_interleaved plus the media leg: the SAME interleaved
+    docs feed both the text pipeline (seg/ent triples) and the media
+    manifest → Arrow-batched decode → media triples (media:<ref>
+    @type/width/height), unioned into one KG.  Oracle = the composite
+    pipeline replay UNION the md5 decode arithmetic over the media refs
+    derived from the same span-construction rule."""
+    from kgc import pipeline
+    from kgc.media import decode_media, media_table_from_spans, media_triples
+
+    docs = _interleaved_docs(spark, sf_dir)
+    stages = pipeline.run(
+        spark, docs, alias_df=_alias_df(spark), max_tokens=_IL_MAX, fuzzy=False
+    )
+    media = media_triples(decode_media(media_table_from_spans(docs)))
+    return (
+        stages["triples"]
+        .select("subj", "pred", "obj", "obj_type")
+        .unionByName(media)
+    )
+
+
 def q_segments_multispan(spark, sf_dir):
     """S1/S2 on the synthetic interleaved corpus (multi-span docs with
     media spans + oversized elements) — not SQL-expressible.
@@ -1196,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_interleaved": q_segments_interleaved,
         "pipeline_triples_sql": q_pipeline_triples_sql,
         "pipeline_interleaved": q_pipeline_interleaved,
+        "pipeline_interleaved_media": q_pipeline_interleaved_media,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1622,6 +1645,34 @@ SELECT DISTINCT subj, pred, obj, obj_type FROM (
 
     q["pipeline_triples_sql"] = _pts_prefix + _scan_link_emit
     q["pipeline_interleaved"] = _pti_prefix + _scan_link_emit
+
+    # media leg: refs derived from the same span-construction rule
+    # (one media span closes each token cycle that exists), decode
+    # arithmetic identical to the proven media_triples oracle.
+    q["pipeline_interleaved_media"] = (
+        "SELECT * FROM ("
+        + q["pipeline_interleaved"]
+        + r""")
+UNION ALL
+SELECT subj, pred, obj, obj_type FROM (
+  WITH tok2 AS (SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+  m AS (SELECT 'img://' || doc_id || '/' || (6 * cy + 5) AS media_ref
+        FROM tok2, unnest(generate_series(0, len(toks) // 59)) AS u(cy)
+        WHERE 59 * cy < len(toks)),
+  d AS (SELECT media_ref,
+         64 + ascii(substr(md5(media_ref), 1, 1)) % 64 AS width,
+         64 + ascii(substr(md5(media_ref), 32, 1)) % 64 AS height
+  FROM m)
+  SELECT 'media:' || media_ref AS subj, '@type' AS pred,
+         'Image' AS obj, 'literal' AS obj_type FROM d
+  UNION ALL
+  SELECT 'media:' || media_ref, 'width', width::VARCHAR, 'literal' FROM d
+  UNION ALL
+  SELECT 'media:' || media_ref, 'height', height::VARCHAR, 'literal' FROM d)"""
+    )
 
     q["quarantine"] = r"""
 WITH w AS (SELECT doc_id, text,
