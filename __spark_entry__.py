@@ -648,6 +648,34 @@ def q_pipeline_interleaved(spark, sf_dir):
     return stages["triples"].select("subj", "pred", "obj", "obj_type")
 
 
+def q_link_fuzzy(spark, sf_dir):
+    """G3/G4 fuzzy leg with a full oracle: deterministic out-of-dictionary
+    surfaces (every alias minus its last character) are LSH-blocked
+    against the dictionary (char-3gram minhash, k=32/bands=8), verified
+    with exact Jaccard ≥ 0.5, scored weight×jaccard, top-1 per mention.
+    The DuckDB twin replays the banding md5-exactly, so both engines
+    miss the same below-sketch-probability pairs — the mechanism is
+    what's checked; recall policy lives in the sketch parameters."""
+    from kgc.link import link_fuzzy
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    a = _alias_df(spark)
+    surf = a.select(
+        F.expr("substring(alias, 1, length(alias) - 1)").alias("surface")
+    ).distinct()
+    m = d.crossJoin(F.broadcast(surf))
+    out = link_fuzzy(m, a, mention_key=("doc_id", "surface"), threshold=0.5)
+    return out.select(
+        "doc_id",
+        "surface",
+        F.col("cand_alias").alias("alias"),
+        "entity_id",
+        "entity_type",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_pipeline_interleaved_media(spark, sf_dir):
     """pipeline_interleaved plus the media leg: the SAME interleaved
     docs feed both the text pipeline (seg/ent triples) and the media
@@ -1219,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples_sql": q_pipeline_triples_sql,
         "pipeline_interleaved": q_pipeline_interleaved,
         "pipeline_interleaved_media": q_pipeline_interleaved_media,
+        "link_fuzzy": q_link_fuzzy,
         # rows-only (no SQL-expressible oracle):
         "pipeline_triples": q_pipeline_triples,
         "segments_multispan": q_segments_multispan,
@@ -1902,6 +1931,56 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
             THEN len(list_intersect(sh_a, sh_b))::DOUBLE /
                  len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE
             ELSE 0.0 END, 6) >= 0.5"""
+
+    # fuzzy link: char-3gram shingles of lower(s); <3-char strings
+    # yield the whole string (substr clamps), mirroring link.char_shingles
+    def _sql_char_shingles(s: str) -> str:
+        return (
+            f"list_distinct(list_transform("
+            f"generate_series(1, greatest(length(lower({s})) - 2, 1)), "
+            f"i -> substr(lower({s}), i, 3)))"
+        )
+
+    _jac = (
+        "CASE WHEN len(list_distinct(list_concat(sh, sha))) > 0 "
+        "THEN len(list_intersect(sh, sha))::DOUBLE / "
+        "len(list_distinct(list_concat(sh, sha)))::DOUBLE ELSE 0.0 END"
+    )
+    fsig32 = _sql_minhash_sig("sh", 32)
+    fsig32a = _sql_minhash_sig("sha", 32)
+    q["link_fuzzy"] = f"""
+WITH {_ALIAS_CTE},
+surf AS (SELECT DISTINCT substr(alias, 1, length(alias) - 1) AS surface FROM aliases),
+-- sketch per DISTINCT surface; the (doc × surface) mention identity is
+-- distributed at candidate time (shingles don't depend on doc_id)
+msh AS (SELECT surface, {_sql_char_shingles('surface')} AS sh FROM surf),
+msig AS (SELECT surface, sh, {fsig32} AS sig FROM msh WHERE len(sh) > 0),
+mband AS (
+  SELECT surface, sh, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+  FROM msig, unnest(generate_series(0, 7)) AS u(b)),
+ash AS (SELECT alias, {_sql_char_shingles('alias')} AS sha
+        FROM (SELECT DISTINCT alias FROM aliases)),
+asig AS (SELECT alias, sha, {fsig32a} AS sig FROM ash WHERE len(sha) > 0),
+aband AS (
+  SELECT alias, sha, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+  FROM asig, unnest(generate_series(0, 7)) AS u(b)),
+cand AS (
+  SELECT DISTINCT d.doc_id, m.surface, a.alias, al.entity_id, al.entity_type,
+                  al.weight, m.sh, a.sha
+  FROM mband m JOIN aband a ON m.band = a.band AND m.key = a.key
+  JOIN aliases al ON al.alias = a.alias
+  CROSS JOIN (SELECT doc_id FROM documents) d),
+j AS (
+  SELECT doc_id, surface, alias, entity_id, entity_type, weight, {_jac} AS jac
+  FROM cand)
+SELECT doc_id, surface, alias, entity_id, entity_type,
+       round(jac, 6) AS jaccard, round(weight * jac, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, surface
+                                   ORDER BY weight * jac DESC, entity_id ASC) AS rk
+      FROM j WHERE jac >= 0.5)
+WHERE rk = 1"""
 
     h60 = _SQL_HASH60.format(t="t")
     q["simhash"] = f"""
