@@ -89,12 +89,18 @@ def stream_event_rollup(
     window: str = "1 hour",
     slide: str | None = None,
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked windowed aggregation (the streaming twin of the batch
     events_rollup query).  Late events beyond the watermark are dropped
     deterministically; state size is bounded by watermark horizon ×
-    event-type cardinality."""
-    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    event-type cardinality.  max_files_per_trigger splits a finite drain
+    into multiple micro-batches so the watermark actually advances
+    between them (late-data tests)."""
+    rd = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        rd = rd.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = rd.parquet(path)
     w = F.window(F.col("ts"), window, slide or window)
     return (
         src.withWatermark("ts", watermark)

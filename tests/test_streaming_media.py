@@ -41,6 +41,69 @@ def test_stream_event_rollup_matches_batch(spark, events_dir):
     assert g == b
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Multi-batch drain: the watermark must ADVANCE between micro-batches
+    and drop an event that arrives 5 hours behind it (append mode), while
+    finalized windows are emitted exactly once with the on-time counts."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+
+    def write(name: str, rows, mtime: float) -> None:
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        # micros, not pandas-default nanos — Spark reads timestamp(us)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), d / name)
+        os.utime(d / name, (mtime, mtime))
+
+    now = _time.time()
+    # batch 0: one event per hour 00..10 → watermark after it = 10:15 - 2h
+    write(
+        "a.parquet",
+        [
+            (i, f"2026-01-01 {h:02d}:15:00", 1, "click", 1.0, "{}")
+            for i, h in enumerate(range(0, 11))
+        ],
+        now - 100,  # FileStreamSource orders by mod time: a, b, c
+    )
+    # batch 1: on-time filler — windows ≤ 08:15 are finalized/EVICTED at
+    # the end of this batch (the watermark computed from batch 0 takes
+    # effect here; eviction happens at batch end, so a late row arriving
+    # IN this batch would still merge — the drop needs the next batch)
+    write(
+        "b.parquet",
+        [(101, "2026-01-01 09:30:00", 1, "click", 1.0, "{}")],
+        now - 70,
+    )
+    # batch 2: a LATE event at 03:30 (5h behind the 08:15 watermark,
+    # state evicted → dropped) and an on-time 09:45 (window open,
+    # withheld by append mode at end of drain)
+    write(
+        "c.parquet",
+        [
+            (100, "2026-01-01 03:30:00", 1, "click", 1.0, "{}"),
+            (102, "2026-01-01 09:45:00", 1, "click", 1.0, "{}"),
+        ],
+        now - 40,
+    )
+    roll = streaming.stream_event_rollup(
+        spark, str(d), window="1 hour", watermark="2 hours", max_files_per_trigger=1
+    )
+    got = streaming.run_available_now(roll, "late_drop_test", output_mode="append")
+    rows = {(r["win_start"].hour, r["n"]) for r in got.collect()}
+    # finalized windows = end <= final watermark (08:15) → hours 00..07,
+    # one event each; the late 03:30 arrival must NOT bump hour 3 to 2
+    assert rows == {(h, 1) for h in range(0, 8)}, rows
+
+
 def test_stream_documents_matches_batch(spark, sf_dir, documents_dir, tmp_path):
     from kgc.mentions import detect_mentions
     from kgc.parsers import text_to_spans
