@@ -1055,6 +1055,27 @@ _SQL_FRAG = (
 )
 
 
+def q_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState
+    gap-sessionization) vs a window-function oracle: closed sessions =
+    gap-cumsum groups per user minus each user's LAST group (still open
+    at end-of-stream; the processing-time timeout cannot fire inside a
+    seconds-long availableNow drain).  Timestamps truncate to ms on both
+    sides — the operator's state carries epoch-ms."""
+    from kgc.streaming import run_available_now, sessionize_events
+
+    sess = sessionize_events(
+        spark, _stage_stream_dir(sf_dir, "events"), gap="1 hour"
+    )
+    out = run_available_now(sess, "kgc_sessionize")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def q_md_spans(spark, sf_dir):
     """R6 end-to-end against an independent oracle: construct markdown
     from each doc (ATX + setext headings, paragraph, fenced code,
@@ -1241,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "streaming_segments": q_streaming_segments,
         "streaming_rollup": q_streaming_rollup,
+        "sessionize": q_sessionize,
         "md_spans": q_md_spans,
         "html_spans": q_html_spans,
         "segments_interleaved": q_segments_interleaved,
@@ -1467,6 +1489,27 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS value_cents
 FROM events GROUP BY 1, 2, 3"""
+
+    # closed sessions only: each user's last gap-cumsum group is still
+    # open at end-of-stream (ties at equal ms are order-independent —
+    # a 0 gap never breaks a session)
+    q["sessionize"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+o AS (SELECT user_id, ms,
+        CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 3600000
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, ms,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+        count(*) AS n_events
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, make_timestamp(start_ms * 1000) AS session_start,
+       make_timestamp(end_ms * 1000) AS session_end,
+       n_events::BIGINT AS n_events
+FROM g QUALIFY sid < max(sid) OVER (PARTITION BY user_id)"""
 
     # Interleaved multi-span packing: replay the greedy fold as a
     # recursive CTE.  State per span = (seg, running, open); transitions
