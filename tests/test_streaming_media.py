@@ -151,6 +151,49 @@ def test_sessionize_events(spark, tmp_path):
     assert n == 3 and s == base and e == base + dt.timedelta(minutes=10)
 
 
+def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming G8: a parquet sink + checkpointLocation gives
+    exactly-once file processing across query RESTARTS — the second
+    drain picks up only the file that landed after the first, never
+    reprocessing the first one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(streaming.DOCS_SCHEMA)
+            .parquet(str(src))
+            .select("doc_id", "n_chars")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    n_a = spark.read.parquet(out).count()
+    base = pq.read_table(src / "a.parquet").to_pandas()
+    shifted = base.assign(doc_id=base["doc_id"] + 1_000_000)
+    pq.write_table(pa.Table.from_pandas(shifted, preserve_index=False), src / "b.parquet")
+    drain()  # restart from the same checkpoint
+    got = spark.read.parquet(out)
+    assert got.count() == 2 * n_a  # a processed once, b once
+    assert got.filter(F.col("doc_id") >= 1_000_000).count() == n_a
+    # no duplicates of the first file's rows
+    assert got.select("doc_id").distinct().count() == 2 * n_a
+
+
 def test_media_pipeline(spark):
     docs = synth.generate_documents(spark, n_docs=60)
     m = media.media_table_from_spans(docs)
