@@ -79,6 +79,16 @@ def entity_triples(linked_canon: DataFrame) -> DataFrame:
     pred follows the reference's emission vocabulary: Person→mentions,
     Place→locations, Event→events (converter.go:252-314), everything
     else → 'about'.  One narrow projection + a dedup shuffle (G7).
+
+    The three triples per linked mention are emitted as a single
+    array(struct)->explode projection, NOT a 3-way self-union: a union
+    plans the upstream segment→mention→link lineage once PER LEG (3×
+    the scan/UDF work when the input isn't cached — real money at
+    10^12 docs), and Spark's DeduplicateRelations re-ids each leg,
+    which in 4.1.2 can strand the pack_spans pandas UDF inside a plain
+    Project (unevaluable) when the spans column is itself a
+    lambda-bearing expression (e.g. kgc.synth's transform(sequence..)).
+    One leg → one scan, no relation dedup, no hazard.
     """
     pred = F.coalesce(
         *[
@@ -92,33 +102,25 @@ def entity_triples(linked_canon: DataFrame) -> DataFrame:
         F.col("seg_id").cast("string"),
     )
     ent = F.concat(F.lit("ent:"), F.col("canonical_id"))
-    base = linked_canon.select(
+
+    def _t(subj, pred_c, obj, obj_type):
+        return F.struct(
+            subj.alias("subj"),
+            pred_c.alias("pred"),
+            obj.alias("obj"),
+            obj_type.alias("obj_type"),
+        )
+
+    trips = F.array(
+        _t(seg_subj, pred, ent, F.lit("node")),
+        _t(ent, F.lit("@type"), F.col("entity_type"), F.lit("literal")),
+        _t(ent, F.lit("name"), F.col("alias"), F.lit("literal")),
+    )
+    return linked_canon.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("seg_id").cast("int").alias("seg_id"),
-        seg_subj.alias("subj"),
-        pred.alias("pred"),
-        ent.alias("obj"),
-        F.lit("node").alias("obj_type"),
-        F.col("entity_type"),
-        F.col("alias"),
-        ent.alias("ent_node"),
-    )
-    edge = base.select("doc_id", "seg_id", "subj", "pred", "obj", "obj_type")
-    typing = base.select(
-        "doc_id", "seg_id",
-        F.col("ent_node").alias("subj"),
-        F.lit("@type").alias("pred"),
-        F.col("entity_type").alias("obj"),
-        F.lit("literal").alias("obj_type"),
-    )
-    naming = base.select(
-        "doc_id", "seg_id",
-        F.col("ent_node").alias("subj"),
-        F.lit("name").alias("pred"),
-        F.col("alias").alias("obj"),
-        F.lit("literal").alias("obj_type"),
-    )
-    return edge.unionByName(typing).unionByName(naming)
+        F.explode(trips).alias("t"),
+    ).select("doc_id", "seg_id", "t.subj", "t.pred", "t.obj", "t.obj_type")
 
 
 # ----------------------------------------------------------- quarantine ---

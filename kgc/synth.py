@@ -132,10 +132,18 @@ def generate_documents(
         )
 
     spans = F.transform(F.sequence(F.lit(1), n_spans), span_struct)
-    return df.select(
+    out = df.select(
         F.concat(F.lit("doc-"), F.lpad(doc.cast("string"), 8, "0")).alias("doc_id"),
         spans.alias("spans"),
     )
+    # Exchange barrier: downstream pandas UDFs (segment.pack_spans) must see
+    # `spans` as a plain attribute, not this lambda-bearing transform(sequence..)
+    # expression — Spark 4.1.2's Python-UDF extraction intermittently strands
+    # the UDF inside a plain Project when re-planning an equivalent
+    # UDF-over-lambda query in the same session (ExprId-dependent; see
+    # tests/test_link_canon.py::test_entity_triples_on_uncached_expression_lineage).
+    # Hash on doc_id: deterministic, unique key, no skew; synth-only cost.
+    return out.repartition(n_parts or spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def alias_dict_df(spark: SparkSession) -> DataFrame:

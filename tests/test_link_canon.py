@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kgc import canon, link, mentions, pipeline, synth
+from kgc import canon, link, mentions, pipeline, segment, synth
 from kgc.mentions import build_alias_index, scan_text_py
 
 
@@ -225,6 +225,25 @@ def test_pipeline_determinism(spark):
     t2 = pipeline.run(spark, docs2, max_tokens=50)["triples"]
     assert t1.exceptAll(t2).count() == 0
     assert t2.exceptAll(t1).count() == 0
+
+
+def test_entity_triples_on_uncached_expression_lineage(spark):
+    """Regression: entity_triples over a fully lazy synth lineage (spans
+    built by transform(sequence..) — a lambda-bearing expression, no
+    persist/checkpoint anywhere).  The round-2 union-leg form made
+    DeduplicateRelations re-id the legs and strand the pack_spans
+    pandas UDF inside a plain Project → runtime INTERNAL_ERROR under
+    Spark 4.1.2.  The explode form must evaluate, and emit exactly 3
+    triples per linked mention."""
+    docs = synth.generate_documents(spark, n_docs=200, n_parts=4)
+    segs = segment.segment_documents(docs, max_tokens=60)
+    aliases = [a for a, *_ in synth.ALIASES]
+    men = mentions.detect_mentions(segs, aliases, text_col="seg_text")
+    linked = link.link_exact(men, synth.alias_dict_df(spark)).withColumn(
+        "canonical_id", F.col("entity_id")
+    )
+    n_linked = linked.count()
+    assert pipeline.entity_triples(linked).count() == 3 * n_linked
 
 
 def test_pipeline_quarantine_and_release(spark):
