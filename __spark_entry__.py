@@ -321,6 +321,39 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_pagerank_entities(spark, sf_dir):
+    """Entity importance over the constructed KG: fixed 8-iteration
+    integer-arithmetic PageRank on the entity co-mention graph (two
+    entities adjacent iff top-1-linked in the same document).  BIGINT
+    fixed-point (units of 1e-12) with DIV truncation makes every
+    iteration bit-exact across engines; the oracle unrolls the same
+    recurrence as 8 chained CTEs."""
+    from kgc.graph import comention_edges, pagerank
+    from kgc.link import link_exact
+    from kgc.mentions import detect_mentions_ngram
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("seg_text"))
+    m = detect_mentions_ngram(d, _alias_df(spark), id_cols=("doc_id",), max_n=2)
+    m = m.drop("entity_id", "entity_type", "weight").withColumn(
+        "surface", F.col("alias")
+    )
+    linked = link_exact(
+        m, _alias_df(spark), mention_key=("doc_id", "tok_begin", "n_toks")
+    )
+    edges = comention_edges(linked.select("doc_id", "entity_id"))
+    return pagerank(edges, iters=8).select(
+        F.col("node").alias("entity_id"), "rank"
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (matching-normalized tokens); rank on
+    the 6-rounded score so ordering is engine-portable."""
+    from kgc.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_suggest_props(spark, sf_dir):
     """V3 over the builtin subset.  The raw synthetic text contains no
     builtin label (round 1's run was vacuously green at 0 rows), so
@@ -421,6 +454,18 @@ def q_minhash_pairs(spark, sf_dir):
     from kgc.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
+        _aug_docs(spark, sf_dir), k=16, bands=4, threshold=0.5
+    )
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup equivalence classes: transitive closure (connected
+    components) over the minhash_pairs edge set, with min-id canonical
+    survivor per group.  Oracle replays the closure as a recursive CTE
+    over the same md5-replayed pair derivation."""
+    from kgc.dedup import near_duplicate_groups
+
+    return near_duplicate_groups(
         _aug_docs(spark, sf_dir), k=16, bands=4, threshold=0.5
     )
 
@@ -1243,6 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_lookup": q_vocab_lookup,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_groups": q_dedup_groups,
+        "pagerank_entities": q_pagerank_entities,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1861,6 +1909,53 @@ SELECT DISTINCT * FROM (
   SELECT 'ent:' || entity_id, 'name', alias, 'literal' FROM top)"""
     )
 
+    # PageRank over the entity co-mention graph: BIGINT fixed-point
+    # (scale 1e12), damping 85/100 as integer rationals, // division —
+    # bit-exact recurrence, so the 8 iterations unroll as chained CTEs.
+    # Graph CTEs MATERIALIZED: each iteration re-joins und/deg, and
+    # inlining would replay the whole mention-scan chain 8×.
+    _pr_scale = 10**12
+    _pr_base = _pr_scale * 15 // 100
+    _pr = (
+        link_cte
+        + f""", cotop AS MATERIALIZED (SELECT DISTINCT doc_id, entity_id FROM ranked WHERE rk = 1),
+coprs AS MATERIALIZED (
+  SELECT DISTINCT x.entity_id AS a, y.entity_id AS b
+  FROM cotop x JOIN cotop y ON x.doc_id = y.doc_id AND x.entity_id < y.entity_id),
+und AS MATERIALIZED (SELECT a AS u, b AS v FROM coprs UNION ALL SELECT b, a FROM coprs),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u),
+pnodes AS MATERIALIZED (SELECT DISTINCT u FROM und),
+r0 AS (SELECT u, {_pr_scale}::BIGINT AS rank FROM pnodes)"""
+    )
+    for _i in range(1, 9):
+        _pr += f""",
+r{_i} AS (
+  SELECT n.u, ({_pr_base} + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+  FROM pnodes n LEFT JOIN (
+    SELECT e.v AS u, sum(r.rank // d.deg) AS s
+    FROM und e JOIN r{_i - 1} r ON e.u = r.u JOIN deg d ON e.u = d.u
+    GROUP BY e.v) s ON n.u = s.u)"""
+    q["pagerank_entities"] = _pr + "\nSELECT u AS entity_id, rank FROM r8"
+
+    # TF-IDF: rank on the 6-rounded score (raw-double sort keys could
+    # flip ranks on a last-ulp ln() difference between libms).
+    q["tfidf_top_terms"] = f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t, unnest(toks) AS u(tok)
+  GROUP BY doc_id, tok),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf, d.df,
+         round(f.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tf f JOIN dfx d USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, tfidf, rk::BIGINT AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= 5"""
+
     q["connected_components"] = """
 WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn FROM nation GROUP BY 1)
 SELECT n_nationkey::BIGINT AS node, m.mn::BIGINT AS component
@@ -1974,6 +2069,40 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
             THEN len(list_intersect(sh_a, sh_b))::DOUBLE /
                  len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE
             ELSE 0.0 END, 6) >= 0.5"""
+
+    # near-dup groups: the SAME pair derivation as minhash_pairs, then
+    # transitive closure as a recursive CTE (min reachable id = group).
+    # edge CTEs are MATERIALIZED — inlined, DuckDB would re-run the
+    # whole shingle/banding chain once per closure iteration.
+    _jacc = (
+        "CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
+        "THEN len(list_intersect(sh_a, sh_b))::DOUBLE / "
+        "len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE ELSE 0.0 END"
+    )
+    q["dedup_groups"] = f"""
+WITH RECURSIVE {_AUG_CTE},
+sh AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM aug WHERE len({_sql_shingles('text')}) > 0),
+sig AS (SELECT doc_id, sh, {sig16} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, sh, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+dpairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sh_a, y.sh AS sh_b
+    FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+    WHERE x.doc_id < y.doc_id)
+  WHERE round({_jacc}, 6) >= 0.5),
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM dpairs UNION SELECT b, a FROM dpairs),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+gs AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
+SELECT c.node AS doc_id, c.component AS group_id, g.group_size::BIGINT AS group_size
+FROM comp c JOIN gs g ON c.component = g.component"""
 
     # fuzzy link: char-3gram shingles of lower(s); <3-char strings
     # yield the whole string (substr clamps), mirroring link.char_shingles

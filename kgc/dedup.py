@@ -416,3 +416,43 @@ def hyperplane_signature(vec: Column, planes: int = 16, dim: int = 64) -> Column
         F.lit(0).cast("bigint"),
         lambda a, v: a + v,
     )
+
+
+# ------------------------------------------------------ near-dup groups ---
+def near_duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup CLUSTERS: (doc_id, group_id, group_size) over the
+    transitive closure of minhash-LSH pairs.
+
+    Pairwise near-dup output is not directly actionable for corpus
+    dedup — keep/drop decisions need the equivalence classes (A~B,
+    B~C ⇒ {A,B,C} even when A,C never collide in a band).  Pairs come
+    from :func:`minhash_near_duplicates`; the closure is
+    kgc.canon.connected_components (large/small-star, salted — the
+    same 10^12-scale machinery as entity canonicalization, G5/G6).
+    group_id = min doc_id of the component, so the canonical survivor
+    of each cluster is deterministic.  Only docs that belong to some
+    pair appear; singletons are by definition not duplicates.
+    """
+    from kgc.canon import connected_components
+
+    pairs = minhash_near_duplicates(
+        df, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, k=k, bands=bands, threshold=threshold,
+    )
+    cc = connected_components(pairs, src="a", dst="b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    out = cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )
+    out._kgc_pinned = list(getattr(pairs, "_kgc_pinned", []))
+    return out

@@ -1,0 +1,122 @@
+"""Graph analytics over the constructed KG — fixed-iteration PageRank.
+
+The reference stops at triple emission; a KG built at 10^12-document
+scale immediately needs entity-importance ranking (which canonical
+entity is the hub of the corpus?).  PageRank is the canonical answer,
+and its Spark shape is the canonical iterative-DataFrame job: per
+round one join (ranks ⨝ edges) and one groupBy-sum — both shuffling
+on the SAME key (``u``), so after the first round the exchange is
+reusable and each iteration is a single co-partitioned stage pair.
+
+Determinism: ranks are BIGINT in fixed-point units of 1/``scale``.
+Integer division (``DIV``) and BIGINT sums are exact and
+order-independent, so the result is bit-identical across engines and
+runs — no floating-point accumulation-order drift.  The DuckDB oracle
+replays the same recurrence with ``//`` over the same literals
+(__spark_entry__.oracle_sql: pagerank_entities).
+
+Scale mechanics:
+  * loop-invariant tables (edges, out-degrees) are persisted once;
+    per-iteration ``localCheckpoint`` truncates the rank lineage
+    (same posture as kgc.canon.connected_components — on a cluster
+    this is an Iceberg snapshot write per round, giving mid-job
+    resume).
+  * damping is applied as integer (num, den) rational arithmetic:
+    r' = scale*(den-num)/den + num*Σ(r/deg)/den, all BIGINT.
+  * overflow headroom: per-node rank is bounded by ~n_nodes·scale;
+    with the default scale=10^12 that allows ~9·10^6 nodes before
+    ``num * s`` nears int64 — pass a smaller scale for larger graphs
+    (precision degrades gracefully: each lost decade is one digit of
+    rank resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 8,
+    scale: int = DEFAULT_SCALE,
+    damping: tuple[int, int] = (85, 100),
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Directed edge list → (node, rank) after ``iters`` rounds.
+
+    ``rank`` is BIGINT fixed-point (units of 1/``scale``); the true
+    PageRank value is rank/scale.  Every node must have out-degree ≥ 1
+    (symmetrize undirected graphs first; dangling nodes would leak
+    mass silently).  Unweighted, unnormalized form:
+
+        r₀(v)   = scale
+        rₜ₊₁(v) = scale·(den−num) DIV den
+                  + (num · Σ_{u→v} (rₜ(u) DIV deg(u))) DIV den
+    """
+    from pyspark import StorageLevel
+
+    num, den = damping
+    base = scale * (den - num) // den
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ranks = nodes.select("u", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("u"), F.expr("rank DIV deg").alias("c"))
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "u", "left").select(
+            "u",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"{num} * coalesce(s, 0L) DIV {den}")
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    out = ranks.select(F.col("u").alias("node"), F.col("rank").cast("long"))
+    out._kgc_pinned = [e, deg, nodes]  # released by kgc.pipeline.release
+    return out
+
+
+def comention_edges(doc_entities: DataFrame, doc_col: str = "doc_id",
+                    ent_col: str = "entity_id") -> DataFrame:
+    """(doc, entity) pairs → symmetric distinct co-mention edge list.
+
+    Two entities are adjacent iff some document mentions both.  The
+    self-join shuffles on ``doc_col`` (uniform at corpus scale: a doc
+    mentions O(10) entities, so per-key fan-out is bounded); DISTINCT
+    collapses repeat co-mentions across documents.
+    """
+    de = doc_entities.select(
+        F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e")
+    ).distinct()
+    x, y = de.alias("x"), de.alias("y")
+    pairs = (
+        x.join(y, F.col("x._d") == F.col("y._d"))
+        .filter(F.col("x._e") < F.col("y._e"))
+        .select(F.col("x._e").alias("a"), F.col("y._e").alias("b"))
+        .distinct()
+    )
+    return pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )

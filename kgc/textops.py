@@ -148,3 +148,63 @@ def fingerprint(col: Column | str, shingle_n: int = 3, k: int = 4) -> Column:
         F.transform(token_shingles(col, shingle_n), lambda s: F.md5(s))
     )
     return F.array_join(F.slice(hashes, 1, k), "")
+
+
+# ------------------------------------------------------------- tf-idf -----
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+):
+    """Per-document top-k TF-IDF terms: (doc_id, term, tf, df, tfidf, rk).
+
+    tfidf = tf · ln((N+1)/(df+1)), rounded to 6 places BEFORE ranking so
+    the ordering is identical across engines (a raw-double sort key
+    could flip ranks on a last-ulp ln() difference between libms; the
+    DuckDB oracle replays the same rounded expression).  Tie-break:
+    term ASC.
+
+    Scale shape: tf is one map-side-combined groupBy on (doc, term);
+    df re-aggregates the (already small) tf table on term; the corpus
+    size N rides in as a broadcast 1-row cross join (no driver
+    collect); the top-k window shuffles on doc_id — the same key as
+    tf, so AQE coalesces the exchanges.  No UDFs anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    tf = (
+        d.select("doc_id", F.explode(norm_tokens("_text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""PageRank (kgc.graph), near-dup groups (kgc.dedup), TF-IDF (kgc.textops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgc.graph import comention_edges, pagerank
+
+
+def _pagerank_py(und_edges, iters=8, scale=10**12, num=85, den=100):
+    """Pure-Python golden twin of the integer recurrence."""
+    nodes = sorted({x for e in und_edges for x in e})
+    out = {u: [v for a, v in und_edges if a == u] for u in nodes}
+    deg = {u: len(out[u]) for u in nodes}
+    base = scale * (den - num) // den
+    r = {u: scale for u in nodes}
+    for _ in range(iters):
+        s = {u: 0 for u in nodes}
+        for u in nodes:
+            c = r[u] // deg[u]
+            for v in out[u]:
+                s[v] += c
+        r = {u: base + num * s[u] // den for u in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replay(spark):
+    # lollipop: triangle {1,2,3} + tail 3-4-5, symmetrized
+    und = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+           (3, 4), (4, 3), (4, 5), (5, 4)]
+    e = spark.createDataFrame(und, "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=8).collect()}
+    assert got == _pagerank_py(und)
+
+
+def test_pagerank_symmetry_and_hub_order(spark):
+    # star: hub 0 ↔ leaves 1..4; hub must outrank the (equal) leaves
+    und = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    e = spark.createDataFrame(und, "u long, v long")
+    r = {x["node"]: x["rank"] for x in pagerank(e, iters=8).collect()}
+    assert len({r[i] for i in range(1, 5)}) == 1  # leaves identical
+    assert r[0] > r[1]
+    assert r == _pagerank_py(und)
+
+
+def test_comention_edges_symmetric_distinct(spark):
+    de = spark.createDataFrame(
+        [("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B"), ("d2", "C")],
+        "doc_id string, entity_id string",
+    )
+    rows = {(r["u"], r["v"]) for r in comention_edges(de).collect()}
+    assert rows == {("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"),
+                    ("B", "C"), ("C", "B")}
+
+
+def test_near_duplicate_groups_transitive(spark):
+    """A~B and B~C band-collide pairwise; the cluster must still be one
+    group {A,B,C} with min-id canonical, even if A,C alone wouldn't."""
+    from kgc.dedup import near_duplicate_groups
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight while stars shine")
+    b = base.split()
+    v1, v2 = b[:], b[:]
+    v1[3] = "red"            # A vs B: one word differs
+    v2[3], v2[10] = "red", "crawls"   # B vs C: one more word differs
+    docs = spark.createDataFrame(
+        [(1, base), (2, " ".join(v1)), (3, " ".join(v2)),
+         (4, "completely unrelated text about spark sql physical plans "
+             "and adaptive query execution with shuffle partitions")],
+        "doc_id long, text string",
+    )
+    out = near_duplicate_groups(docs, k=16, bands=8, threshold=0.3)
+    rows = out.collect()
+    grouped = {r["doc_id"]: (r["group_id"], r["group_size"]) for r in rows}
+    assert set(grouped) == {1, 2, 3}
+    assert {g for g, _ in grouped.values()} == {1}   # min-id canonical
+    assert all(s == 3 for _, s in grouped.values())
+
+
+def test_tfidf_top_terms_discriminative(spark):
+    from kgc.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common zebra zebra zebra"),
+         (2, "common common yak"),
+         (3, "common common common")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # rank-1 term of doc 1 is the doc-unique 'zebra', not 'common'
+    top1 = {d: sorted(v, key=lambda r: r["rk"])[0]["term"] for d, v in by_doc.items()}
+    assert top1[1] == "zebra" and top1[2] == "yak"
+    # 'common' appears in every doc → idf = ln(4/4) = 0 → tfidf 0.0
+    for r in rows:
+        if r["term"] == "common":
+            assert r["tfidf"] == 0.0
+    assert all(len(v) <= 2 for v in by_doc.values())
