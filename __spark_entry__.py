@@ -470,6 +470,54 @@ def q_dedup_groups(spark, sf_dir):
     )
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Corpus-level dedup verdict table: every doc with kept/dropped —
+    kept = not in any near-dup cluster, or the cluster's min-id
+    canonical.  Oracle extends the dedup_groups recursive-CTE closure
+    with a LEFT JOIN back to the full corpus."""
+    from kgc.dedup import dedup_survivors
+
+    return dedup_survivors(_aug_docs(spark, sf_dir), k=16, bands=4, threshold=0.5)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    held-out eval suite; the rest are the training corpus.  shingle_n=4
+    (not the 8-gram default) because the synthetic docs are short —
+    4-grams give a non-vacuous contaminated set at sf0.01."""
+    from kgc.dedup import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        shingle_n=4,
+    )
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Training-mix composition per (lang, quality bucket): doc/token
+    counts, token share, and the per-language upsampling weight for a
+    uniform language mix."""
+    from kgc.mix import corpus_mix
+
+    return corpus_mix(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-threshold sampling, stratified by language:
+    downsample dominant English to 25%, keep everything else.  The
+    oracle replays the identical hex-prefix compare, proving the
+    sample is engine- and run-independent."""
+    from kgc.mix import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        rates={"en": 0.25},
+        default_rate=1.0,
+    )
+
+
 def q_simhash(spark, sf_dir):
     from kgc.dedup import with_simhash
 
@@ -1289,6 +1337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "dedup_groups": q_dedup_groups,
+        "dedup_survivors": q_dedup_survivors,
+        "decontaminate": q_decontaminate,
+        "corpus_mix": q_corpus_mix,
+        "stratified_sample": q_stratified_sample,
         "pagerank_entities": q_pagerank_entities,
         "tfidf_top_terms": q_tfidf_top_terms,
         "simhash": q_simhash,
@@ -2104,6 +2156,59 @@ gs AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
 SELECT c.node AS doc_id, c.component AS group_id, g.group_size::BIGINT AS group_size
 FROM comp c JOIN gs g ON c.component = g.component"""
 
+    # survivors: the SAME closure, LEFT-JOINed back to the full corpus —
+    # kept = singleton or cluster-canonical (min id)
+    q["dedup_survivors"] = f"""
+WITH RECURSIVE {_AUG_CTE},
+sh AS (SELECT doc_id, {_sql_shingles('text')} AS sh FROM aug WHERE len({_sql_shingles('text')}) > 0),
+sig AS (SELECT doc_id, sh, {sig16} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, sh, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+dpairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sh_a, y.sh AS sh_b
+    FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+    WHERE x.doc_id < y.doc_id)
+  WHERE round({_jacc}, 6) >= 0.5),
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM dpairs UNION SELECT b, a FROM dpairs),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+gs AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
+SELECT a2.doc_id,
+       (c.component IS NULL OR c.component = a2.doc_id) AS kept,
+       c.component AS group_id,
+       g.group_size::BIGINT AS group_size
+FROM aug a2
+LEFT JOIN comp c ON a2.doc_id = c.node
+LEFT JOIN gs g ON c.component = g.component"""
+
+    # decontamination: word-4-gram overlap between train (doc_id%97!=0)
+    # and the held-out eval slice (doc_id%97=0); zero-token docs emit no
+    # shingles (the Spark explode drops empty arrays)
+    q["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+              WHERE len({_TOKS}) > 0),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 3, 1)),
+                j -> array_to_string(list_slice(t, j, j + 3), ' ')))) AS s
+       FROM toks),
+h AS (SELECT doc_id, md5(s) AS sh_hash FROM sh),
+ev AS (SELECT doc_id AS eval_id, sh_hash FROM h WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, sh_hash FROM h WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.sh_hash) AS n_shared_shingles,
+       count(DISTINCT ev.eval_id) AS n_eval_docs,
+       min(ev.eval_id) AS first_eval_id
+FROM tr JOIN ev USING (sh_hash)
+GROUP BY tr.doc_id"""
+
     # fuzzy link: char-3gram shingles of lower(s); <3-char strings
     # yield the whole string (substr clamps), mirroring link.char_shingles
     def _sql_char_shingles(s: str) -> str:
@@ -2231,6 +2336,52 @@ SELECT doc_id,
   round(uniq_token_ratio, 6) AS uniq_token_ratio,
   round(stopword_ratio_en, 6) AS stopword_ratio_en
 FROM f"""
+
+    # shared lang CASE (identical to langid's pick, operating on the
+    # ratio columns of a CTE that also keeps toks/text)
+    lang_case = f"""CASE WHEN length(text) > 0
+        AND len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))::DOUBLE
+            / length(text)::DOUBLE > 0.3 THEN 'zh'
+       ELSE CASE {lang_pick} ELSE 'und' END END"""
+
+    q["corpus_mix"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id, text, toks, {ratios} FROM t),
+b AS (SELECT *, greatest(r_en, r_fr, r_de, r_es) AS best FROM r),
+l AS (SELECT
+  {lang_case} AS lang,
+  round(0.25 * least(len(toks)::DOUBLE / 100.0, 1.0)
+      + 0.25 * (1.0 - least(CASE WHEN length(text) > 0
+            THEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END * 5, 1.0))
+      + 0.25 * CASE WHEN len(toks) > 0
+            THEN len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+            ELSE 0.0 END
+      + 0.25 * least(r_en * 4, 1.0), 6) AS score,
+  len(toks)::BIGINT AS n_toks
+FROM b),
+m AS (SELECT lang, least(floor(score * 5), 4)::INT AS q_bucket, n_toks FROM l),
+cell AS (SELECT lang, q_bucket, count(*)::BIGINT AS n_docs,
+                sum(n_toks)::BIGINT AS n_tokens
+         FROM m GROUP BY lang, q_bucket),
+tot AS (SELECT sum(n_tokens) AS tot_toks, count(DISTINCT lang) AS n_langs FROM cell),
+lt AS (SELECT lang, sum(n_tokens) AS lang_toks FROM cell GROUP BY lang)
+SELECT c.lang, c.q_bucket, c.n_docs, c.n_tokens,
+       round(c.n_tokens::DOUBLE / tot.tot_toks::DOUBLE, 6) AS token_share,
+       round((tot.tot_toks::DOUBLE / tot.n_langs::DOUBLE)
+             / lt.lang_toks::DOUBLE, 6) AS lang_weight
+FROM cell c JOIN lt USING (lang) CROSS JOIN tot"""
+
+    q["stratified_sample"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id, text, toks, {ratios} FROM t),
+b AS (SELECT *, greatest(r_en, r_fr, r_de, r_es) AS best FROM r),
+k AS (SELECT doc_id,
+             {lang_case} AS lang,
+             substr(md5(doc_id::VARCHAR || '|strat'), 1, 8) AS sample_key
+      FROM b)
+SELECT doc_id, lang, sample_key FROM k
+WHERE sample_key < CASE WHEN lang = 'en' THEN '40000000' ELSE 'g' END"""
 
     q["ann_topk"] = f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),

@@ -456,3 +456,90 @@ def near_duplicate_groups(
     )
     out._kgc_pinned = list(getattr(pairs, "_kgc_pinned", []))
     return out
+
+
+def dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """The deduplicated corpus decision table: every input doc with a
+    keep/drop verdict — kept iff it is in no near-dup cluster, or is
+    its cluster's canonical (min-id) member.
+
+    (doc_id, kept, group_id, group_size); group columns are NULL for
+    singletons.  This is the row-level output corpus dedup actually
+    materialises (the downstream writer filters ``kept``); clusters
+    come from :func:`near_duplicate_groups` with the same kwargs.
+
+    The cluster table is a small fraction of the corpus (only docs
+    that collided in some LSH band), so the join back is
+    AQE-broadcastable in the common case; worst case it is one
+    shuffle on doc_id — uniform by construction.
+    """
+    groups = near_duplicate_groups(
+        df, text_col=text_col, id_col=id_col, **minhash_kwargs
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
+            ).alias("kept"),
+            "group_id",
+            "group_size",
+        )
+    )
+    out._kgc_pinned = list(getattr(groups, "_kgc_pinned", []))
+    return out
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs that share at least one
+    word ``shingle_n``-gram with any evaluation document.
+
+    (doc_id, n_shared_shingles, n_eval_docs, first_eval_id) — one row
+    per contaminated training doc; drop these (or their matched spans)
+    before training so eval benchmarks stay uncontaminated.  The
+    n-gram-overlap criterion is the standard published recipe (GPT-3
+    appendix C uses 13-grams; default 8 here because short docs never
+    contain a 13-gram).
+
+    Scale shape: the eval side is a benchmark suite — megabytes, not
+    terabytes — so its exploded shingle table is broadcast and the
+    100 TB training side never shuffles for the join; the only wide
+    exchange is the final groupBy on doc_id (uniform key).  Shingles
+    ride as md5 hex (32 bytes) rather than raw n-gram text.
+    """
+    from kgc.link import shingles_from_tokens
+    from kgc.textops import norm_tokens
+
+    def exploded(d: DataFrame, out_id: str) -> DataFrame:
+        # two-step projection per shingles_from_tokens' contract: the
+        # gram lambda slices its input once per gram, so the tokenizer
+        # must be a materialised attribute, not an inlined expression
+        toks = d.select(
+            F.col(id_col).alias(out_id), norm_tokens(text_col).alias("_toks")
+        )
+        return toks.select(
+            out_id,
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("_s"),
+        ).select(out_id, F.md5("_s").alias("sh_hash"))
+
+    hits = exploded(train, "doc_id").join(
+        F.broadcast(exploded(eval_df, "eval_id")), "sh_hash"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("sh_hash").alias("n_shared_shingles"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+        F.min("eval_id").alias("first_eval_id"),
+    )

@@ -1,0 +1,116 @@
+"""Corpus-composition operators: mix statistics, stratified sampling,
+decontamination, dedup survivors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+PROSE_EN = (
+    "the quick brown fox jumps over the lazy dog and then it runs to "
+    "the forest for a rest in the shade of an old oak tree with friends"
+)
+PROSE_FR = (
+    "le chat noir dort dans la maison pendant que les enfants jouent "
+    "dans le jardin avec une balle rouge et un petit chien pour la journee"
+)
+
+
+def test_corpus_mix_shares_and_weights(spark):
+    from kgc.mix import corpus_mix
+
+    df = _docs(
+        spark,
+        [(i, PROSE_EN + f" extra {i}") for i in range(6)]
+        + [(100 + i, PROSE_FR + f" encore {i}") for i in range(2)],
+    )
+    rows = {(r["lang"], r["q_bucket"]): r for r in corpus_mix(df).collect()}
+    assert {k[0] for k in rows} == {"en", "fr"}
+    # shares sum to 1 (6-decimal rounding)
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-4
+    # en has 3x fr's token mass -> weight(en) < 1 < weight(fr),
+    # and weight * lang_share == 1/n_langs for every language
+    for r in rows.values():
+        lang_share = sum(
+            x["token_share"] for k, x in rows.items() if k[0] == r["lang"]
+        )
+        assert abs(r["lang_weight"] * lang_share - 0.5) < 1e-3
+    en = next(r for k, r in rows.items() if k[0] == "en")
+    fr = next(r for k, r in rows.items() if k[0] == "fr")
+    assert en["lang_weight"] < 1.0 < fr["lang_weight"]
+    # buckets in range, counts exact
+    assert all(0 <= k[1] < 5 for k in rows)
+    assert sum(r["n_docs"] for r in rows.values()) == 8
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from kgc.mix import stratified_sample
+
+    df = _docs(
+        spark,
+        [(i, PROSE_EN + f" filler {i}") for i in range(400)]
+        + [(1000 + i, PROSE_FR + f" encore {i}") for i in range(40)],
+    )
+    kept1 = stratified_sample(df, rates={"en": 0.25}).collect()
+    kept2 = stratified_sample(df, rates={"en": 0.25}).collect()
+    # bit-deterministic across runs
+    assert sorted(r["doc_id"] for r in kept1) == sorted(r["doc_id"] for r in kept2)
+    by_lang = {}
+    for r in kept1:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # default rate 1.0: every non-en doc kept
+    assert len(by_lang.get("fr", set())) == 40
+    # en downsampled to ~25% (md5-uniform: binomial(400, .25), ±6 sigma)
+    n_en = len(by_lang.get("en", set()))
+    assert 48 <= n_en <= 152, n_en
+    # a different salt draws a different (but same-law) sample
+    kept3 = stratified_sample(df, rates={"en": 0.25}, salt="other").collect()
+    assert sorted(r["doc_id"] for r in kept3) != sorted(r["doc_id"] for r in kept1)
+
+
+def test_decontaminate_flags_ngram_overlap_only(spark):
+    from kgc.dedup import decontaminate
+
+    eval_df = _docs(spark, [(900, "alpha beta gamma delta epsilon zeta eta theta")])
+    train = _docs(
+        spark,
+        [
+            # contains the eval 8-gram verbatim inside unrelated text
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta outro"),
+            # shares vocabulary but no 8-gram run
+            (2, "alpha beta gamma something delta epsilon zeta eta theta"),
+            (3, "completely unrelated text about forests and rivers"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, eval_df, shingle_n=8).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_eval_docs"] == 1
+    assert out[1]["first_eval_id"] == 900
+    assert out[1]["n_shared_shingles"] >= 1
+
+
+def test_dedup_survivors_keep_min_id_per_cluster(spark):
+    from kgc.dedup import dedup_survivors
+
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    df = _docs(
+        spark,
+        [
+            (10, base),
+            (20, base + " tail"),          # near-dup of 10
+            (30, "a wholly different document about maritime navigation charts"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_survivors(df, k=16, bands=4, threshold=0.5).collect()}
+    assert set(out) == {10, 20, 30}
+    assert out[10]["kept"] and out[10]["group_id"] == 10
+    assert not out[20]["kept"] and out[20]["group_id"] == 10
+    assert out[30]["kept"] and out[30]["group_id"] is None
+    assert out[10]["group_size"] == 2
