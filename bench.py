@@ -39,7 +39,7 @@ def main() -> None:
 
     def run(name: str, fn) -> None:
         nonlocal n_triples
-        # Two timed passes, report the MIN.  This sandbox VM sees bursty
+        # Three timed passes, report the MIN.  This sandbox VM sees bursty
         # CPU steal from co-tenants (measured via /proc/stat steal);
         # a single pass that lands in a steal window reads 5-20x slow
         # for reasons unrelated to the engine.  Min-of-2 measures the
@@ -54,7 +54,7 @@ def main() -> None:
         # re-executes the full dataflow.
         df = fn(spark, sf_dir)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             n = df.count()
