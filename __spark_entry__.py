@@ -581,6 +581,16 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals: most-frequent-bigram
+    fraction + duplicate-trigram occurrence fraction per doc, with the
+    policy flag.  (The library also scores duplicate-line fraction —
+    vacuous on this single-line corpus, so not projected here.)"""
+    from kgc.textops import ngram_repetition
+
+    return ngram_repetition(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_ann_topk(spark, sf_dir):
     from kgc.simsearch import topk_bruteforce
 
@@ -611,6 +621,22 @@ def q_embed_neardup(spark, sf_dir):
         )
     )
     return embedding_near_duplicates(aug, threshold=0.95, planes=16)
+
+
+def q_embed_dedup_groups(spark, sf_dir):
+    """Semantic near-dup clusters: connected components over the
+    embedding near-dup pair set (the embedding-space twin of
+    dedup_groups).  Oracle replays the hyperplane-LSH pair derivation
+    plus a recursive-CTE closure."""
+    from kgc.dedup import embedding_dedup_groups
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return embedding_dedup_groups(aug, threshold=0.95, planes=16)
 
 
 def q_events_rollup(spark, sf_dir):
@@ -1310,6 +1336,24 @@ def q_streaming_rollup(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup (kgc.streaming.stream_exact_dedup):
+    first-row-per-key dropDuplicates over the event stream, keyed by
+    md5(props) — the incremental twin of exact_dedup's grouping.  Only
+    the key column is projected because WHICH row survives per key is
+    partition-order dependent; the surviving key SET is deterministic
+    and equals the batch DISTINCT bit-exactly."""
+    from kgc.streaming import EVENTS_SCHEMA, run_available_now, stream_exact_dedup
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _stage_stream_dir(sf_dir, "events")
+    )
+    keyed = src.select(F.md5("props").alias("dup_group"))
+    return run_available_now(
+        stream_exact_dedup(keyed, ["dup_group"]), "kgc_streaming_dedup"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_type": q_file_type,
@@ -1349,9 +1393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "quality": q_quality,
+        "repetition": q_repetition,
         "ann_topk": q_ann_topk,
         "embed_signature": q_embed_signature,
         "embed_neardup": q_embed_neardup,
+        "embed_dedup_groups": q_embed_dedup_groups,
         "events_rollup": q_events_rollup,
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts": q_top_parts,
@@ -1362,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "streaming_segments": q_streaming_segments,
         "streaming_rollup": q_streaming_rollup,
+        "streaming_dedup": q_streaming_dedup,
         "sessionize": q_sessionize,
         "md_spans": q_md_spans,
         "html_spans": q_html_spans,
@@ -2090,6 +2137,38 @@ FROM documents d, full_props p
 WHERE d.doc_id < 50 AND contains(lower(d.text), lower(p.label))"""
 
 
+    # streaming dedup: availableNow drains the finite corpus in one
+    # micro-batch, so the surviving key SET equals the batch DISTINCT
+    q["streaming_dedup"] = """
+SELECT DISTINCT md5(props) AS dup_group FROM events"""
+
+    # Gopher-style repetition: full-width grams only (a doc shorter
+    # than the gram width has none), counted with multiplicity
+    q["repetition"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+              j -> array_to_string(list_slice(toks, j, j + 1), ' '))) AS g
+       FROM t WHERE len(toks) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bga AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac
+        FROM bgc GROUP BY doc_id),
+tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+              j -> array_to_string(list_slice(toks, j, j + 2), ' '))) AS g
+       FROM t WHERE len(toks) >= 3),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+tga AS (SELECT doc_id,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                     / sum(c)::DOUBLE, 6) AS dup_ngram_frac
+        FROM tgc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(bga.top_ngram_frac, 0.0) AS top_ngram_frac,
+       coalesce(tga.dup_ngram_frac, 0.0) AS dup_ngram_frac,
+       (coalesce(bga.top_ngram_frac, 0.0) > 0.2
+        OR coalesce(tga.dup_ngram_frac, 0.0) > 0.3) AS repetitive
+FROM documents d
+LEFT JOIN bga ON d.doc_id = bga.doc_id
+LEFT JOIN tga ON d.doc_id = tga.doc_id"""
+
     q["exact_dedup"] = """
 WITH h AS (SELECT event_id, md5(props) AS dup_group FROM events),
 g AS (SELECT dup_group, count(*) AS group_size, min(event_id) AS canonical_id
@@ -2463,6 +2542,30 @@ pairs AS (
   FROM s x JOIN s y ON x.sig = y.sig WHERE x.vec_id < y.vec_id)
 SELECT a, b, {_SQL_COSINE} AS cosine FROM pairs
 WHERE {_SQL_COSINE} >= 0.95"""
+
+    # semantic clusters: the SAME pair derivation, then the transitive
+    # closure as a recursive CTE (min reachable id = group) — the
+    # embedding twin of dedup_groups
+    q["embed_dedup_groups"] = f"""
+WITH RECURSIVE aug AS (SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+s AS (SELECT vec_id, embedding, {_sql_hyperplane_sig('embedding', 16)} AS sig FROM aug),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_sql_dot_norms('x.embedding', 'y.embedding')}
+  FROM s x JOIN s y ON x.sig = y.sig WHERE x.vec_id < y.vec_id),
+epairs AS MATERIALIZED (
+  SELECT a, b FROM cand WHERE {_SQL_COSINE} >= 0.95),
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM epairs UNION SELECT b, a FROM epairs),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+gs AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
+SELECT c.node AS vec_id, c.component AS group_id, g.group_size::BIGINT AS group_size
+FROM comp c JOIN gs g ON c.component = g.component"""
 
     q["events_rollup"] = """
 SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -441,21 +441,49 @@ def near_duplicate_groups(
     of each cluster is deterministic.  Only docs that belong to some
     pair appear; singletons are by definition not duplicates.
     """
-    from kgc.canon import connected_components
-
     pairs = minhash_near_duplicates(
         df, text_col=text_col, id_col=id_col,
         shingle_n=shingle_n, k=k, bands=bands, threshold=threshold,
     )
+    return _pair_groups(pairs, "doc_id")
+
+
+def _pair_groups(pairs: DataFrame, id_name: str) -> DataFrame:
+    """(id, group_id, group_size) equivalence classes over an (a, b)
+    pair table: kgc.canon.connected_components (large/small-star,
+    salted — the same 10^12-scale machinery as entity canonicalization,
+    G5/G6); group_id = min member id, so the canonical survivor is
+    deterministic."""
+    from kgc.canon import connected_components
+
     cc = connected_components(pairs, src="a", dst="b")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     out = cc.join(sizes, "component").select(
-        F.col("node").alias("doc_id"),
+        F.col("node").alias(id_name),
         F.col("component").alias("group_id"),
         F.col("group_size").cast("bigint").alias("group_size"),
     )
     out._kgc_pinned = list(getattr(pairs, "_kgc_pinned", []))
     return out
+
+
+def embedding_dedup_groups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 16,
+) -> DataFrame:
+    """Semantic near-dup CLUSTERS: (vec_id, group_id, group_size) over
+    the transitive closure of embedding-cosine near-dup pairs — the
+    embedding-space twin of :func:`near_duplicate_groups` (textual
+    minhash), for dedup that must catch paraphrases sharing no
+    shingles.  Pairs come from :func:`embedding_near_duplicates`
+    (hyperplane-LSH blocked, cosine-verified)."""
+    pairs = embedding_near_duplicates(
+        df, vec_col=vec_col, id_col=id_col, threshold=threshold, planes=planes
+    )
+    return _pair_groups(pairs, id_col)
 
 
 def dedup_survivors(

@@ -213,6 +213,37 @@ def _parse_duration_ms(s: str) -> int:
     return int(n) * mult
 
 
+def stream_exact_dedup(
+    src: DataFrame,
+    key_cols: list[str],
+    event_time: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stateful streaming dedup: emit the first row per key, drop the
+    rest — the incremental twin of kgc.dedup.exact_duplicates' group
+    detection (here the *keep* side: a continuously deduped feed).
+
+    With ``event_time``/``watermark`` set, uses
+    dropDuplicatesWithinWatermark so the key state is EVICTED once the
+    watermark passes — mandatory at 10^12-doc scale, where unbounded
+    dropDuplicates state would grow with the full corpus key set.
+    Without a watermark (finite drains, tests) plain dropDuplicates
+    keeps exact global semantics.
+
+    Note on determinism: *which* row survives per key is
+    batch/partition-order dependent; downstream consumers (and the
+    driver oracle) should rely only on the key columns, or feed
+    key-only projections.
+    """
+    if watermark is not None:
+        if event_time is None:
+            raise ValueError("watermark requires event_time")
+        return src.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return src.dropDuplicates(key_cols)
+
+
 def run_available_now(
     df: DataFrame, name: str, timeout_sec: int = 300, output_mode: str = "append"
 ) -> DataFrame:

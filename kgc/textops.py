@@ -150,6 +150,108 @@ def fingerprint(col: Column | str, shingle_n: int = 3, k: int = 4) -> Column:
     return F.array_join(F.slice(hashes, 1, k), "")
 
 
+# -------------------------------------------------------- repetition ------
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line
+    (Gopher-style boilerplate signal; 0.0 for single-line docs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.round(
+            (n - F.size(F.array_distinct(lines))).cast("double") / n.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def _full_grams(toks: Column, w: int) -> Column:
+    """All *full-width* word ``w``-grams, with multiplicity (unlike the
+    dedup shingles, repetition scoring needs occurrence counts, and a
+    doc shorter than ``w`` tokens has no gram at all)."""
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_w: int = 2,
+    dup_w: int = 3,
+    top_frac_max: float = 0.2,
+    dup_frac_max: float = 0.3,
+):
+    """Gopher-style repetition filter signals per doc:
+
+    (doc_id, top_ngram_frac, dup_ngram_frac, repetitive) where
+    top_ngram_frac = occurrences of the most frequent ``top_w``-gram /
+    total ``top_w``-grams, dup_ngram_frac = fraction of ``dup_w``-gram
+    occurrences that belong to a gram seen more than once, and
+    ``repetitive`` flags docs over either threshold (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 uses the same family of signals;
+    thresholds are corpus policy).
+
+    Scale shape: gram counting is explode → groupBy(doc, gram) →
+    groupBy(doc) — both shuffles on uniform keys and both map-side
+    combinable, never a per-row O(|grams|²) distinct-count loop, so a
+    pathological 10 MB doc costs O(tokens) not O(tokens²).  Docs
+    shorter than the gram width land at 0.0 via the left join back to
+    the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
+    )
+
+    def frac(w: int, expr_name: str, agg) -> "DataFrame":
+        grams = toks.select(
+            "doc_id", F.explode(_full_grams(F.col("_toks"), w)).alias("g")
+        )
+        counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy("doc_id").agg(agg.alias(expr_name))
+
+    top = frac(
+        top_w,
+        "top_ngram_frac",
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ),
+    )
+    dup = frac(
+        dup_w,
+        "dup_ngram_frac",
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("c").cast("double"),
+            6,
+        ),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    out = (
+        base.join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_ngram_frac") > top_frac_max)
+            | (F.col("dup_ngram_frac") > dup_frac_max),
+        )
+    )
+    return out
+
+
 # ------------------------------------------------------------- tf-idf -----
 def tfidf_top_terms(
     df,

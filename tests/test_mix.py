@@ -114,3 +114,55 @@ def test_dedup_survivors_keep_min_id_per_cluster(spark):
     assert not out[20]["kept"] and out[20]["group_id"] == 10
     assert out[30]["kept"] and out[30]["group_id"] is None
     assert out[10]["group_size"] == 2
+
+
+def test_ngram_repetition_scores_loops_above_prose(spark):
+    from kgc.textops import ngram_repetition
+
+    df = _docs(
+        spark,
+        [
+            (1, "spam ham " * 30),                      # one bigram dominates
+            (2, PROSE_EN),                               # normal prose
+            (3, "tiny"),                                 # shorter than gram width
+        ],
+    )
+    out = {r["doc_id"]: r for r in ngram_repetition(df).collect()}
+    assert out[1]["repetitive"] and not out[2]["repetitive"]
+    assert out[1]["top_ngram_frac"] > 0.4 > out[2]["top_ngram_frac"]
+    assert out[1]["dup_ngram_frac"] > 0.9
+    assert out[3]["top_ngram_frac"] == 0.0 and out[3]["dup_ngram_frac"] == 0.0
+
+
+def test_dup_line_fraction(spark):
+    from kgc.textops import dup_line_fraction
+    from pyspark.sql import functions as F
+
+    df = _docs(
+        spark,
+        [
+            (1, "header\nbody one\nheader\nbody two\nheader"),  # 3x 'header'
+            (2, "a\nb\nc"),
+            (3, ""),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", dup_line_fraction("text").alias("f")).collect()
+    }
+    assert abs(out[1] - 0.4) < 1e-9   # 2 repeats of 5 non-blank lines
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_embedding_dedup_groups_transitive(spark):
+    from kgc.dedup import embedding_dedup_groups
+
+    # 1 and 2 identical; 3 a copy of 1 -> one cluster {1,2,3}; 9 alone
+    v = [0.1, 0.9, 0.3, 0.5]
+    w = [0.9, -0.2, 0.4, -0.7]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, list(v)), (9, w)], "vec_id bigint, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in embedding_dedup_groups(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["group_id"] == 1 and r["group_size"] == 3 for r in out.values())

@@ -216,3 +216,32 @@ def test_media_pipeline(spark):
     # triples
     t = media.media_triples(feats)
     assert t.filter(F.col("pred") == "@type").count() == len(rows)
+
+
+def test_stream_exact_dedup_first_per_key(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from kgc.streaming import EVENTS_SCHEMA, run_available_now, stream_exact_dedup
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(events_dir))
+    got = run_available_now(
+        stream_exact_dedup(src.select(F.md5("props").alias("k")), ["k"]),
+        "t_stream_dedup",
+    )
+    batch = (
+        spark.read.parquet(str(events_dir))
+        .select(F.md5("props").alias("k"))
+        .distinct()
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in batch.collect()
+    )
+
+
+def test_stream_dedup_within_watermark_requires_event_time():
+    import pytest
+
+    from kgc.streaming import stream_exact_dedup
+
+    with pytest.raises(ValueError):
+        stream_exact_dedup(None, ["k"], watermark="10 minutes")
