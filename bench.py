@@ -80,6 +80,10 @@ def main() -> None:
     run("events_rollup", em.q_events_rollup)
     run("revenue_by_nation", em.q_revenue_by_nation)
     run("user_journeys", em.q_user_journeys)
+    run("repetition", em.q_repetition)
+    run("corpus_mix", em.q_corpus_mix)
+    run("stratified_sample", em.q_stratified_sample)
+    run("decontaminate", em.q_decontaminate)
 
     total = round(sum(timings.values()), 3)
     out = {

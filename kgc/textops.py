@@ -198,46 +198,51 @@ def ngram_repetition(
     "Scaling Language Models" §A1.1 uses the same family of signals;
     thresholds are corpus policy).
 
-    Scale shape: gram counting is explode → groupBy(doc, gram) →
+    Scale shape: ONE tokenize pass emits both gram widths tagged with
+    a width column, so the 100 TB text scan happens once (not once per
+    width); counting is explode → groupBy(doc, w, gram) →
     groupBy(doc) — both shuffles on uniform keys and both map-side
     combinable, never a per-row O(|grams|²) distinct-count loop, so a
     pathological 10 MB doc costs O(tokens) not O(tokens²).  Docs
     shorter than the gram width land at 0.0 via the left join back to
-    the corpus.
+    the corpus (one broadcast of the tiny per-doc metric table — or a
+    doc_id shuffle when the corpus-sized metric table can't broadcast;
+    either way the heavy text column doesn't ride it).
     """
+    if top_w == dup_w:
+        raise ValueError("top_w and dup_w must differ (width tags the gram rows)")
     toks = df.select(
         F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
     )
 
-    def frac(w: int, expr_name: str, agg) -> "DataFrame":
-        grams = toks.select(
-            "doc_id", F.explode(_full_grams(F.col("_toks"), w)).alias("g")
+    def tagged(w: int) -> Column:
+        return F.transform(
+            _full_grams(F.col("_toks"), w),
+            lambda g: F.struct(F.lit(w).alias("w"), g.alias("g")),
         )
-        counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        return counts.groupBy("doc_id").agg(agg.alias(expr_name))
 
-    top = frac(
-        top_w,
-        "top_ngram_frac",
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.concat(tagged(top_w), tagged(dup_w))).alias("x"),
+    ).select("doc_id", F.col("x.w").alias("w"), F.col("x.g").alias("g"))
+    counts = grams.groupBy("doc_id", "w", "g").agg(F.count(F.lit(1)).alias("c"))
+    is_top = F.col("w") == top_w
+    is_dup = F.col("w") == dup_w
+    per_doc = counts.groupBy("doc_id").agg(
         F.round(
-            F.max("c").cast("double") / F.sum("c").cast("double"), 6
-        ),
-    )
-    dup = frac(
-        dup_w,
-        "dup_ngram_frac",
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast(
-                "double"
-            )
-            / F.sum("c").cast("double"),
+            F.max(F.when(is_top, F.col("c"))).cast("double")
+            / F.sum(F.when(is_top, F.col("c"))).cast("double"),
             6,
-        ),
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(is_dup & (F.col("c") > 1), F.col("c"))).cast("double")
+            / F.sum(F.when(is_dup, F.col("c"))).cast("double"),
+            6,
+        ).alias("dup_ngram_frac"),
     )
     base = df.select(F.col(id_col).alias("doc_id"))
-    out = (
-        base.join(top, "doc_id", "left")
-        .join(dup, "doc_id", "left")
+    return (
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
@@ -249,7 +254,6 @@ def ngram_repetition(
             | (F.col("dup_ngram_frac") > dup_frac_max),
         )
     )
-    return out
 
 
 # ------------------------------------------------------------- tf-idf -----
