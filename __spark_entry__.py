@@ -553,31 +553,32 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    from kgc.textops import fingerprint
+    from kgc.textops import with_fingerprint
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", fingerprint("text").alias("fp"))
+    return with_fingerprint(d.select("doc_id", "text")).select("doc_id", "fp")
 
 
 def q_langid(spark, sf_dir):
-    from kgc.textops import detect_language
+    from kgc.textops import with_language
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", detect_language("text").alias("lang_pred"))
+    return with_language(d.select("doc_id", "text"), out_col="lang_pred").select(
+        "doc_id", "lang_pred"
+    )
 
 
 def q_quality(spark, sf_dir):
-    from kgc.textops import quality_features, quality_score
+    from kgc.textops import with_quality_features
 
     d = _docs(spark, sf_dir)
-    f = quality_features("text")
-    return d.select(
+    return with_quality_features(d.select("doc_id", "text")).select(
         "doc_id",
-        quality_score("text").alias("score"),
-        f["n_tokens"].cast("bigint").alias("n_tokens"),
-        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(f["uniq_token_ratio"], 6).alias("uniq_token_ratio"),
-        F.round(f["stopword_ratio_en"], 6).alias("stopword_ratio_en"),
+        "score",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("uniq_token_ratio", 6).alias("uniq_token_ratio"),
+        F.round("stopword_ratio_en", 6).alias("stopword_ratio_en"),
     )
 
 

@@ -46,23 +46,28 @@ def main() -> None:
         # plan, not the neighbor.  (Engine-side nondeterminism — the r1
         # JIT code-cache thrash — is fixed separately: lanes-as-data
         # operators + 2g reserved code cache; see kgc/session.py.)
-        # Build the plan ONCE, execute twice, report the MIN: per-pass
+        # Build the plan ONCE, execute thrice, report the MIN: per-pass
         # plan rebuilds add 10-20s of Janino codegen compile (new expr
         # IDs = cache miss) that is one-time work at scale, not
         # per-query cost (same rule as scripts/scaling.py).  clearCache
         # between passes drops operator-internal persists so pass 2
         # re-executes the full dataflow.
+        #
+        # Timed action = noop-sink write, NOT count(): count() lets
+        # Catalyst prune every column a projection-only query computes
+        # (langid "ran" in 0.07s while never evaluating the language
+        # detector); the noop sink materializes every output column.
         df = fn(spark, sf_dir)
         best = None
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         if name == "pipeline_triples":
-            n_triples = n
+            n_triples = df.count()
 
     run("pipeline_triples", em.q_pipeline_triples)
     run("pipeline_interleaved", em.q_pipeline_interleaved)

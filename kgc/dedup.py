@@ -119,10 +119,19 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (a, b) pairs — the
-    verification primitive, usable after any blocking scheme."""
+    verification primitive, usable after any blocking scheme.
+
+    Tokens are staged as an attribute before the gram transform (the
+    shingles_from_tokens contract): inlining the tokenizer re-runs the
+    regex once per gram under interpreted HOF eval — measured 5.4s →
+    0.6s at sf0.1 from this two-step split alone."""
+    from kgc.link import shingles_from_tokens
+    from kgc.textops import norm_tokens
+
     sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        token_shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
+    ).select(
+        "doc_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
     )
     return (
         candidate_pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
