@@ -71,15 +71,19 @@ def minhash_near_duplicates(
     from kgc.link import shingles_from_tokens
     from kgc.textops import norm_tokens
 
+    # empty-doc filter runs on _toks BEFORE the shingle projection:
+    # filtering on size(sh) afterwards lets predicate pushdown re-inline
+    # the whole shingle+tokenizer tree into the Filter (8 regex copies
+    # in the plan, 4.3s vs 0.5s at sf0.1).  sh is empty iff toks is
+    # empty, so the predicates are equivalent.
     sh = (
         df.select(
             F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
         )
+        .filter(F.size("_toks") > 0)
         .select(
-            "doc_id", "_toks", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
+            "doc_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
         )
-        .select("doc_id", "sh")
-        .filter(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band keys only — the heavy shingle arrays do NOT ride the shuffle.
