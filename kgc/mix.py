@@ -11,11 +11,11 @@ weights".  Both stages here are shuffle-light by construction:
   at any corpus size), so the wide exchange carries only partial
   aggregates.  The share/weight normalisation joins happen on the
   post-agg table (≤ dozens of rows, always broadcast).
-* :func:`stratified_sample` is a pure narrow projection + filter — no
-  shuffle at all, no RNG state: membership is a per-row md5 threshold
-  test, so the sample is reproducible across retries, resumes and
-  cluster sizes (the property Spark's `df.sample` does NOT give you
-  under task re-execution).
+* :func:`stratified_sample` is a narrow projection + broadcast
+  threshold lookup + filter — no wide shuffle, no RNG state:
+  membership is a per-row md5 threshold test, so the sample is
+  reproducible across retries, resumes and cluster sizes (the property
+  Spark's `df.sample` does NOT give you under task re-execution).
 
 All hashing is md5-hex so each operator has a bit-identical ANSI-SQL
 twin for the DuckDB oracle (see __spark_entry__.oracle_sql).
