@@ -166,3 +166,41 @@ def test_embedding_dedup_groups_transitive(spark):
     out = {r["vec_id"]: r for r in embedding_dedup_groups(df).collect()}
     assert set(out) == {1, 2, 3}
     assert all(r["group_id"] == 1 and r["group_size"] == 3 for r in out.values())
+
+
+def test_staged_forms_match_column_forms(spark):
+    """The staged hot-path operators (with_language / with_fingerprint /
+    with_quality_features) must stay bit-identical to their Column-form
+    twins — the oracle SQL is derived from the Column-form semantics."""
+    from kgc.textops import (
+        detect_language,
+        fingerprint,
+        quality_score,
+        with_fingerprint,
+        with_language,
+        with_quality_features,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, PROSE_EN),
+            (2, PROSE_FR),
+            (3, ""),
+            (4, "word"),
+            (5, "der die das und in den von zu mit sich"),
+            (6, "!!! ??? ..." ),
+        ],
+    )
+    col_form = df.select(
+        "doc_id",
+        detect_language("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("score"),
+    ).collect()
+    staged = (
+        with_quality_features(with_fingerprint(with_language(df)), "text")
+        .select("doc_id", "lang", "fp", "score")
+        .collect()
+    )
+    assert sorted(map(tuple, col_form)) == sorted(map(tuple, staged))
