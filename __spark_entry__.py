@@ -470,6 +470,21 @@ def q_dedup_groups(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup of a NEW batch (mutated copies of doc_id<25,
+    id+100000) against the EXISTING corpus (documents) via the
+    precomputed LSH band index — the incremental path that never
+    re-self-joins the corpus."""
+    from kgc.dedup import incremental_near_duplicates
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    new_batch = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" duplicated tail marker")).alias("text"),
+    )
+    return incremental_near_duplicates(new_batch, d, k=16, bands=4, threshold=0.5)
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Corpus-level dedup verdict table: every doc with kept/dropped —
     kept = not in any near-dup cluster, or the cluster's min-id
@@ -1383,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_groups": q_dedup_groups,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_incremental": q_dedup_incremental,
         "decontaminate": q_decontaminate,
         "corpus_mix": q_corpus_mix,
         "stratified_sample": q_stratified_sample,
@@ -2235,6 +2251,31 @@ comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
 gs AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
 SELECT c.node AS doc_id, c.component AS group_id, g.group_size::BIGINT AS group_size
 FROM comp c JOIN gs g ON c.component = g.component"""
+
+    # incremental ingest dedup: new-batch band keys probe the corpus
+    # band index; no a<b constraint (the sides are distinct tables)
+    q["dedup_incremental"] = f"""
+WITH newb AS (SELECT doc_id + 100000 AS doc_id, text || ' duplicated tail marker' AS text
+              FROM documents WHERE doc_id < 25),
+shn AS (SELECT doc_id AS new_id, {_sql_shingles('text')} AS sh FROM newb
+        WHERE len({_TOKS}) > 0),
+shc AS (SELECT doc_id AS corpus_id, {_sql_shingles('text')} AS sh FROM documents
+        WHERE len({_TOKS}) > 0),
+sign AS (SELECT new_id, sh, {sig16} AS sig FROM shn),
+sigc AS (SELECT corpus_id, sh, {sig16} AS sig FROM shc),
+bn AS (SELECT new_id, sh, b AS band,
+              md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+       FROM sign, unnest(generate_series(0, 3)) AS u(b)),
+bc AS (SELECT corpus_id, sh, b AS band,
+              md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+       FROM sigc, unnest(generate_series(0, 3)) AS u(b)),
+pairs AS (
+  SELECT DISTINCT n.new_id, c.corpus_id, n.sh AS sh_a, c.sh AS sh_b
+  FROM bn n JOIN bc c ON n.band = c.band AND n.key = c.key)
+SELECT new_id, corpus_id,
+       round({_jacc}, 6) AS jaccard
+FROM pairs
+WHERE round({_jacc}, 6) >= 0.5"""
 
     # survivors: the SAME closure, LEFT-JOINed back to the full corpus —
     # kept = singleton or cluster-canonical (min id)

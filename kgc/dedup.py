@@ -461,6 +461,63 @@ def near_duplicate_groups(
     return _pair_groups(pairs, "doc_id")
 
 
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time dedup: near-dup pairs (new_id, corpus_id, jaccard)
+    between a NEW batch and an EXISTING corpus — the incremental path.
+
+    At 10^12 docs you never re-self-join the whole corpus per ingest:
+    the corpus's LSH band table is a precomputed INDEX (materialize
+    :func:`kgc.link.lsh_band_keys` once, bucketed/partitioned by
+    (band, key)); each arriving batch computes signatures only for its
+    own docs and probes the index with an equi-join.  When the batch is
+    small relative to the corpus — the normal case — AQE broadcasts the
+    batch side, so the corpus index is never shuffled at all.  Same
+    hash family and banding as :func:`minhash_near_duplicates`
+    (md5-replayable in the DuckDB oracle); candidates are verified with
+    exact shingle Jaccard like the batch operator.
+    """
+    from pyspark import StorageLevel
+
+    from kgc.link import shingles_from_tokens
+    from kgc.textops import norm_tokens
+
+    def staged_shingles(d: DataFrame, out_id: str) -> DataFrame:
+        return (
+            d.select(F.col(id_col).alias(out_id), norm_tokens(text_col).alias("_toks"))
+            .filter(F.size("_toks") > 0)
+            .select(out_id, shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    sh_new = staged_shingles(new_df, "new_id")
+    sh_corpus = staged_shingles(corpus_df, "corpus_id")
+    banded_new = lsh_band_keys(sh_new, "sh", ["new_id"], k, bands)
+    banded_corpus = lsh_band_keys(sh_corpus, "sh", ["corpus_id"], k, bands)
+    pairs = (
+        banded_new.join(banded_corpus, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    out = (
+        pairs.join(sh_new.withColumnRenamed("sh", "sh_n"), "new_id")
+        .join(sh_corpus.withColumnRenamed("sh", "sh_c"), "corpus_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_n"), F.col("sh_c")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    out._kgc_pinned = [sh_new, sh_corpus]  # released by kgc.pipeline.release
+    return out
+
+
 def _pair_groups(pairs: DataFrame, id_name: str) -> DataFrame:
     """(id, group_id, group_size) equivalence classes over an (a, b)
     pair table: kgc.canon.connected_components (large/small-star,

@@ -204,3 +204,26 @@ def test_staged_forms_match_column_forms(spark):
         .collect()
     )
     assert sorted(map(tuple, col_form)) == sorted(map(tuple, staged))
+
+
+def test_incremental_dedup_probes_corpus_index(spark):
+    from kgc.dedup import incremental_near_duplicates
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    corpus = _docs(
+        spark,
+        [(1, base), (2, "totally different content about glaciers and moraines")],
+    )
+    new_batch = _docs(
+        spark,
+        [
+            (100, base + " trailing"),   # near-dup of corpus doc 1
+            (101, "fresh unique text with no counterpart in the corpus at all"),
+        ],
+    )
+    out = incremental_near_duplicates(new_batch, corpus, k=16, bands=4, threshold=0.5).collect()
+    assert [(r["new_id"], r["corpus_id"]) for r in out] == [(100, 1)]
+    assert out[0]["jaccard"] >= 0.5
