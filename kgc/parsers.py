@@ -362,20 +362,30 @@ def html_to_spans(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: parse_html_py(t)[0] if t is not None else [])
 
 
+#: sentinel span kind carrying a parse failure out of the Arrow batch —
+#: parse_documents strips it into the ``parse_error`` column so the
+#: quarantine table can report the real reason, not just 'empty_document'
+PDF_ERROR_KIND = "__pdf_error__"
+
+
 @F.pandas_udf(SPAN_TYPE)
 def pdf_to_spans(payloads: pd.Series) -> pd.Series:
     """R8 over a BINARY column.  A PDF outside kgc.pdf's subset (or
-    corrupt bytes) yields empty spans — the parse-stage quarantine
-    (C5 'empty_document') picks the row up; a poison document never
-    kills the batch."""
+    corrupt bytes) yields a single PDF_ERROR_KIND sentinel span whose
+    text is the failure reason — parse_documents turns that into empty
+    spans + a ``parse_error`` column, and the parse-stage quarantine
+    (C5) records reason='pdf_unsupported' with the message in
+    ``detail``.  A poison document never kills the batch."""
 
     def one(b) -> list:
         if b is None:
             return []
         try:
             return parse_pdf_py(bytes(b))
-        except Exception:
-            return []
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"[:200]
+            return [{"kind": PDF_ERROR_KIND, "text": msg,
+                     "media_ref": None, "offset": -1}]
 
     return payloads.map(one)
 
@@ -411,6 +421,25 @@ def parse_documents(
     spans = F.when(ft == "markdown", markdown_to_spans(F.col(text_col))).when(
         ft == "html", html_to_spans(F.col(text_col))
     )
-    if pdf_col is not None:
-        spans = spans.when(ft == "pdf", pdf_to_spans(F.col(pdf_col)))
-    return df.withColumn("spans", spans.otherwise(text_to_spans(text_col)))
+    if pdf_col is None:
+        return df.withColumn("spans", spans.otherwise(text_to_spans(text_col)))
+    spans = spans.when(ft == "pdf", pdf_to_spans(F.col(pdf_col)))
+    # split the in-band error sentinel into a parse_error column (read
+    # by quarantine_table) and empty spans; the ArrowEvalPython node
+    # materializes the UDF once — both projections read the same column
+    out = df.withColumn("_raw_spans", spans.otherwise(text_to_spans(text_col)))
+    first = F.element_at("_raw_spans", 1)
+    err = F.when(
+        (F.size("_raw_spans") == 1) & (first["kind"] == F.lit(PDF_ERROR_KIND)),
+        first["text"],
+    )
+    return (
+        out.withColumn("parse_error", err)
+        .withColumn(
+            "spans",
+            F.when(err.isNotNull(), F.lit([]).cast(SPAN_TYPE)).otherwise(
+                F.col("_raw_spans")
+            ),
+        )
+        .drop("_raw_spans")
+    )

@@ -7,8 +7,10 @@ container, so this module implements the subset that mainstream word
 processors emit — enough to process the committed jean1.pdf fixture
 from raw bytes:
 
-* object scan by regex (no xref walking — works for incremental /
-  linearized files), /ObjStm object-stream expansion;
+* startxref/xref fast path (classic tables, 1.5+ xref streams, /Prev
+  revision chains, hybrid /XRefStm) with fallback to a tolerant
+  whole-file regex scan for files with broken or absent xref;
+  /ObjStm object-stream expansion;
 * FlateDecode (zlib) with optional PNG predictors;
 * page-tree walk in /Kids order;
 * content-stream interpretation of the text operators (BT/ET, Tf, Tm,
@@ -232,38 +234,157 @@ def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     return bytes(out)
 
 
+_OBJ_AT = re.compile(rb"[\r\n\t\x0c\x00 ]*(\d+)\s+\d+\s+obj\b")
+
+
 class _Doc:
     def __init__(self, data: bytes):
         self.data = data
         self.objs: dict[int, tuple[object, bytes | None]] = {}
+        self.scan_method = "xref"
         self._scan()
 
     def _scan(self) -> None:
+        """Locate every object.  Fast path: walk the startxref → xref
+        chain (classic tables, xref streams, /Prev revisions) and parse
+        only the objects the cross-reference actually points at — the
+        spec-faithful resolution order where the newest revision of an
+        object wins.  Any malformation in the chain falls back to the
+        tolerant whole-file regex scan (works for files with broken or
+        absent xref, which real-world corpora are full of)."""
+        try:
+            self._scan_xref()
+            self._expand_objstm()
+            if not any(
+                isinstance(v, dict) and v.get("Type") == "Catalog"
+                for v, _ in self.objs.values()
+            ):
+                raise PdfUnsupportedError("xref scan found no /Catalog")
+            return
+        except Exception:
+            self.objs = {}
+            self.scan_method = "regex"
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+\d+\s+obj\b", self.data):
             num = int(m.group(1))
-            lex = _Lexer(self.data, m.end())
             try:
-                val = lex.parse()
+                self.objs[num] = self._parse_obj_body(m.end())
             except Exception:
                 continue
-            stream = None
-            lex._skip_ws()
-            if self.data[lex.pos : lex.pos + 6] == b"stream":
-                p = lex.pos + 6
-                if self.data[p : p + 2] == b"\r\n":
-                    p += 2
-                elif self.data[p : p + 1] == b"\n":
-                    p += 1
-                length = val.get("Length") if isinstance(val, dict) else None
-                if isinstance(length, Ref):
-                    length = None  # resolve after full scan; use endstream
-                if isinstance(length, int):
-                    stream = self.data[p : p + length]
-                else:
-                    end = self.data.find(b"endstream", p)
-                    stream = self.data[p:end].rstrip(b"\r\n")
-            self.objs[num] = (val, stream)
         self._expand_objstm()
+
+    def _parse_obj_body(self, pos: int) -> tuple[object, bytes | None]:
+        """Parse one object's value (and raw stream bytes if present)
+        starting just after its ``N G obj`` header."""
+        lex = _Lexer(self.data, pos)
+        val = lex.parse()
+        stream = None
+        lex._skip_ws()
+        if self.data[lex.pos : lex.pos + 6] == b"stream":
+            p = lex.pos + 6
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = val.get("Length") if isinstance(val, dict) else None
+            if isinstance(length, Ref):
+                length = None  # resolve after full scan; use endstream
+            if isinstance(length, int):
+                stream = self.data[p : p + length]
+            else:
+                end = self.data.find(b"endstream", p)
+                stream = self.data[p:end].rstrip(b"\r\n")
+        return val, stream
+
+    # ------------------------------------------------------ xref walk ---
+    def _scan_xref(self) -> None:
+        m = list(re.finditer(rb"startxref\s+(\d+)", self.data[-2048:]))
+        if not m:
+            raise PdfUnsupportedError("no startxref")
+        off: int | None = int(m[-1].group(1))
+        offsets: dict[int, int] = {}  # objnum -> file offset; first seen wins
+        seen: set[int] = set()
+        while off is not None and off not in seen:
+            seen.add(off)
+            if self.data[off : off + 4] == b"xref":
+                off = self._read_xref_table(off, offsets)
+            else:
+                off = self._read_xref_stream(off, offsets)
+        for num, o in offsets.items():
+            if num in self.objs:
+                continue
+            hdr = _OBJ_AT.match(self.data, o)
+            if hdr is None or int(hdr.group(1)) != num:
+                raise PdfUnsupportedError(f"xref offset {o} is not object {num}")
+            self.objs[num] = self._parse_obj_body(hdr.end())
+
+    def _read_xref_table(self, off: int, offsets: dict[int, int]) -> int | None:
+        """Classic ``xref`` section: subsections of 20-byte entries,
+        then a ``trailer`` dict carrying /Prev (and /XRefStm in hybrid
+        files).  Returns the previous section's offset or None."""
+        lex = _Lexer(self.data, off + 4)
+        while True:
+            lex._skip_ws()
+            if self.data[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                trailer = lex.parse()
+                if not isinstance(trailer, dict):
+                    raise PdfUnsupportedError("malformed xref trailer")
+                if isinstance(trailer.get("XRefStm"), int):
+                    self._read_xref_stream(trailer["XRefStm"], offsets)
+                prev = trailer.get("Prev")
+                return int(prev) if isinstance(prev, int) else None
+            m = re.compile(rb"(\d+)\s+(\d+)").match(self.data, lex.pos)
+            if m is None:
+                raise PdfUnsupportedError("malformed xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            p = m.end()
+            while self.data[p : p + 1] in b"\r\n ":
+                p += 1
+            for i in range(count):
+                e = self.data[p : p + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", e)
+                if em is None:
+                    raise PdfUnsupportedError("malformed xref entry")
+                if em.group(3) == b"n":
+                    offsets.setdefault(start + i, int(em.group(1)))
+                p += 20
+            lex.pos = p
+
+    def _read_xref_stream(self, off: int, offsets: dict[int, int]) -> int | None:
+        """PDF 1.5+ cross-reference stream (/Type/XRef, /W field widths,
+        /Index subsections).  Type-1 rows carry file offsets; type-2 rows
+        live in object streams, which _expand_objstm unpacks once their
+        containers (type-1 entries themselves) are loaded."""
+        hdr = _OBJ_AT.match(self.data, off)
+        if hdr is None:
+            raise PdfUnsupportedError(f"no object at startxref offset {off}")
+        num = int(hdr.group(1))
+        val, stream = self._parse_obj_body(hdr.end())
+        if not (isinstance(val, dict) and val.get("Type") == "XRef" and stream):
+            raise PdfUnsupportedError("startxref does not point at an XRef stream")
+        self.objs.setdefault(num, (val, stream))
+        body = self._decode(val, stream)
+        w = [int(x) for x in val["W"]]
+        index = val.get("Index") or [0, int(val["Size"])]
+        rowlen = sum(w)
+        pos = 0
+        for i in range(0, len(index), 2):
+            start, count = int(index[i]), int(index[i + 1])
+            for j in range(count):
+                row = body[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    raise PdfUnsupportedError("truncated XRef stream")
+                o = 0
+                fields = []
+                for width in w:
+                    fields.append(int.from_bytes(row[o : o + width], "big"))
+                    o += width
+                ftype = fields[0] if w[0] else 1
+                if ftype == 1:
+                    offsets.setdefault(start + j, fields[1])
+        prev = val.get("Prev")
+        return int(prev) if isinstance(prev, int) else None
 
     def _expand_objstm(self) -> None:
         for num in list(self.objs):
@@ -308,7 +429,10 @@ class _Doc:
             f = self.resolve(f)
             if f != "FlateDecode":
                 raise PdfUnsupportedError(f"filter {f}")
-            out = zlib.decompress(out)
+            try:
+                out = zlib.decompress(out)
+            except zlib.error as e:
+                raise PdfUnsupportedError(f"corrupt FlateDecode stream: {e}")
             p = self.resolve(parms_list[i]) if i < len(parms_list) else None
             if isinstance(p, dict) and p.get("Predictor"):
                 out = _png_unpredict(

@@ -138,12 +138,22 @@ def quarantine_table(
     a poison row must never kill the job — bad rows route HERE and the
     healthy flow continues (SURVEY C5).
     """
+    if "parse_error" in docs.columns:
+        # parse_documents(pdf_col=...) carries the real failure reason
+        # (PdfUnsupportedError message etc.) out of the Arrow batch
+        reason = F.when(
+            F.col("parse_error").isNotNull(), F.lit("pdf_unsupported")
+        ).otherwise(F.lit("empty_document"))
+        detail = F.col("parse_error")
+    else:
+        reason = F.lit("empty_document")
+        detail = F.lit(None).cast("string")
     q_parse = docs.filter(F.size("spans") == 0).select(
         "doc_id",
         F.lit(None).cast("int").alias("seg_id"),
         F.lit("parse").alias("stage"),
-        F.lit("empty_document").alias("reason"),
-        F.lit(None).cast("string").alias("detail"),
+        reason.alias("reason"),
+        detail.alias("detail"),
     )
     q_seg = guarded_segs.filter(~F.col("ok")).select(
         "doc_id",
@@ -220,7 +230,10 @@ def run(
         docs = parsers.parse_documents(
             docs, text_col="text", source_col=src, pdf_col=pdf
         )
-    docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    keep = [F.col("doc_id").cast("string").alias("doc_id"), F.col("spans")]
+    if "parse_error" in docs.columns:  # real parse-failure reason → quarantine
+        keep.append(F.col("parse_error"))
+    docs = docs.select(*keep)
 
     fp = input_fingerprint(docs) if store is not None else None
     pinned: list[DataFrame] = []

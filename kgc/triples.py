@@ -406,8 +406,18 @@ _ALWAYS_LIST_PREDS = {"participants"}
 _INT_PREDS = {"position"}
 
 
-def render_jsonld_nested(triples: DataFrame) -> DataFrame:
+def render_jsonld_nested(triples: DataFrame, indent: int | None = None) -> DataFrame:
     """A2 nested render — the inverse of kgc.golden.flatten_node.
+
+    ``indent=2`` reproduces the reference CLI's file output byte-for-
+    byte (json.MarshalIndent(combined, "", "  "), cmd/cli/main.go:211-
+    217; verified byte-equal against the committed
+    analyzed_transcription.txt.jsonld fixture).  Caveat, documented:
+    scalar LISTS render sorted because the triple table stores repeated
+    (s,p,o) rows with no order — jean1.pdf.jsonld keeps its
+    'participants' arrays in original LLM order, so that fixture
+    compares canonical-form-equal (arrays order-normalized on both
+    sides), not byte-equal.
 
     (doc_id, jsonld) where jsonld is the reference CLI's combined
     output shape (cmd/cli/main.go:205-217): {"@context":
@@ -471,7 +481,10 @@ def render_jsonld_nested(triples: DataFrame) -> DataFrame:
             if len(vals) == 1 and p not in _ALWAYS_LIST_PREDS:
                 node[p] = vals[0]
             else:
-                node[p] = sorted(vals, key=_json.dumps)
+                # ensure_ascii=False: sort non-ASCII scalars in raw
+                # codepoint order (escaped \uXXXX form sorts 'é' wrong)
+                node[p] = sorted(
+                    vals, key=lambda v: _json.dumps(v, ensure_ascii=False))
         return dict(sorted(node.items()))
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -494,7 +507,8 @@ def render_jsonld_nested(triples: DataFrame) -> DataFrame:
                 nodes.append(dict(sorted(node.items())))
         doc = {"@context": "https://schema.org", "@graph": nodes}
         return pd.DataFrame(
-            {"doc_id": [doc_id], "jsonld": [_json.dumps(doc, ensure_ascii=False, sort_keys=True)]}
+            {"doc_id": [doc_id], "jsonld": [_json.dumps(
+                doc, ensure_ascii=False, sort_keys=True, indent=indent)]}
         )
 
     return triples.groupBy("doc_id").applyInPandas(_assemble, out_schema)

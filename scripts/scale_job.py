@@ -73,12 +73,15 @@ def main() -> None:
         n = triples.count()
         return n, time.time() - t0
 
-    # warmup pass (python-worker spawn, JIT), then MIN of 3 measured
+    # warmup pass (python-worker spawn, JIT), then MIN of the measured
     # passes — this box is co-tenant-noisy (identical passes measured
     # 8.5-22.6s); the min is the standard least-interference estimator
-    # and is what bench.py reports per query too
+    # and is what bench.py reports per query too.  Pass count is
+    # overridable for the interleaved A/B/A/B protocol (scaling.py
+    # --rounds), where cross-round mins replace within-leg repeats.
+    n_passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
     one_pass()
-    runs = sorted([one_pass() for _ in range(3)], key=lambda r: r[1])
+    runs = sorted([one_pass() for _ in range(n_passes)], key=lambda r: r[1])
     n_triples, elapsed = runs[0]
     print(
         json.dumps(

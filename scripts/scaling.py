@@ -1,11 +1,19 @@
 #!/usr/bin/env python
-"""Two-cluster-size scaling evidence (north rule): run bench.py at
-local[N] and local[4N] on the SAME input, report throughput at both and
-the scaling efficiency (T_N / T_4N) / 4.
+"""Two-cluster-size scaling evidence (north rule): run the synthetic
+KG-pipeline job at local[N] and local[4N] on the SAME input, report
+throughput at both and the scaling efficiency (T_N / T_4N) / 4.
 
-Fresh subprocess per level → fresh JVM, no warm-cache bleed.
+Fresh subprocess per leg → fresh JVM, no warm-cache bleed.
 
-Usage: python scripts/scaling.py [--n 8] [--sf /root/testdata/sf0.1]
+``--rounds R`` (R > 1) switches to the INTERLEAVED A/B/A/B protocol
+(VERDICT r2 'Next round' #3): the small and big legs alternate within
+one session so both sample the same co-tenant load distribution — a
+one-shot big leg that lands in a neighbor's burst can no longer skew
+the ratio.  Per-leg statistic = MIN across rounds (the standard
+least-interference estimator on a shared box); per-round paired
+efficiencies are also reported so a skeptic can see the spread.
+
+Usage: python scripts/scaling.py [--n 8] [--rounds 3] [--n-docs 2000000]
 """
 
 from __future__ import annotations
@@ -30,8 +38,12 @@ def run_bench(cpus: int, sf: str) -> dict:
     return json.loads(line)
 
 
-def run_synth(cpus: int, n_docs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+def run_synth(cpus: int, n_docs: int, passes: int = 3) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SCALE_PASSES=str(passes),
+    )
     cmd = [sys.executable, os.path.join(REPO, "scripts", "scale_job.py"),
            "--n-docs", str(n_docs)]
     # Pin the WHOLE process tree (JVM + python workers) to exactly
@@ -59,7 +71,54 @@ def main() -> None:
         "dominates at sf0.1, so efficiency reads low)",
     )
     ap.add_argument("--n-docs", type=int, default=100_000)
+    ap.add_argument(
+        "--rounds", type=int, default=1,
+        help=">1: interleaved A/B/A/B protocol (synth mode only) — "
+        "alternate small/big legs, MIN per leg across rounds",
+    )
     args = ap.parse_args()
+
+    if args.mode == "synth" and args.rounds > 1:
+        rounds = []
+        for r in range(args.rounds):
+            small = run_synth(args.n, args.n_docs, passes=2)
+            big = run_synth(args.n * 4, args.n_docs, passes=2)
+            rounds.append((small, big))
+            pair_eff = (small["elapsed_sec"] / big["elapsed_sec"]) / 4
+            print(
+                f"# round {r + 1}/{args.rounds}: small={small['elapsed_sec']}s "
+                f"big={big['elapsed_sec']}s paired_eff={pair_eff:.3f}",
+                file=sys.stderr,
+            )
+        t_small = min(s["elapsed_sec"] for s, _ in rounds)
+        t_big = min(b["elapsed_sec"] for _, b in rounds)
+        n_triples = rounds[0][0]["n_triples"]
+        speedup = t_small / t_big
+        print(
+            json.dumps(
+                {
+                    "mode": "synth-interleaved",
+                    "protocol": "A/B alternating × rounds, min per leg",
+                    "input": f"synth:{args.n_docs}docs",
+                    "n_small": args.n,
+                    "n_big": args.n * 4,
+                    "rounds": args.rounds,
+                    "per_round_small_sec": [s["elapsed_sec"] for s, _ in rounds],
+                    "per_round_big_sec": [b["elapsed_sec"] for _, b in rounds],
+                    "per_round_paired_efficiency": [
+                        round((s["elapsed_sec"] / b["elapsed_sec"]) / 4, 3)
+                        for s, b in rounds
+                    ],
+                    "elapsed_sec_small": t_small,
+                    "elapsed_sec_big": t_big,
+                    "triples_per_sec_small": round(n_triples / t_small, 1),
+                    "triples_per_sec_big": round(n_triples / t_big, 1),
+                    "speedup": round(speedup, 3),
+                    "scaling_efficiency": round(speedup / 4, 3),
+                }
+            )
+        )
+        return
 
     if args.mode == "synth":
         small = run_synth(args.n, args.n_docs)

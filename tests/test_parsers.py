@@ -227,3 +227,128 @@ class TestPdfExtract:
         assert "PROLOGUE" in rows["d1"][0]["text"]
         assert [s["text"] for s in rows["d2"]] == ["plain text line"]
         assert rows["d3"] == []  # poison → empty spans, job survives
+
+
+def _classic_pdf() -> bytes:
+    """Minimal well-formed PDF 1.4 with a CLASSIC xref table (the
+    committed jean1.pdf fixture exercises the 1.5+ xref-stream path)."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    content = b"BT /F1 12 Tf 72 720 Td (Hello classic xref) Tj ET"
+    objs[4] = (b"<< /Length %d >>\nstream\n" % len(content)
+               + content + b"\nendstream")
+    out = b"%PDF-1.4\n"
+    offsets = {}
+    for n in sorted(objs):
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for n in range(1, 6):
+        out += b"%010d 00000 n \n" % offsets[n]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_off)
+    return out
+
+
+class TestPdfRobustness:
+    """VERDICT r2 #6 — xref fast path + poison-PDF quarantine routing.
+
+    Reference behavior: per-file parse errors are logged and swallowed,
+    the batch continues (cmd/cli/main.go:252-254)."""
+
+    FIXTURE = "/root/reference/test/jean1.pdf"
+
+    def _poison_cases(self) -> dict[str, bytes]:
+        import re as _re
+
+        data = open(self.FIXTURE, "rb").read()
+        classic = _classic_pdf()
+        return {
+            # header missing entirely
+            "not_a_pdf": b"this is not a pdf at all",
+            # first Flate stream corrupted -> zlib error surfaced as
+            # PdfUnsupportedError("corrupt FlateDecode stream: ...")
+            "truncated_stream": data.replace(b"stream\r\n", b"stream\r\nXX", 1),
+            # filter outside the supported subset
+            "unsupported_filter": classic.replace(
+                b"<< /Length", b"<< /Filter /DCTDecode /Length"),
+            # encrypted documents are out of scope by design
+            "encrypted": classic.replace(
+                b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"),
+            # structurally valid objects but no document root
+            "no_catalog": classic.replace(b"/Type /Catalog", b"/Type /Notalog"),
+        }
+
+    def test_xref_fast_path_used_on_fixture(self):
+        from kgc.pdf import _Doc
+
+        doc = _Doc(open(self.FIXTURE, "rb").read())
+        assert doc.scan_method == "xref"  # 1.5+ xref-stream chain walked
+        assert len(doc.pages()) == 26
+
+    def test_regex_fallback_on_broken_startxref(self):
+        import re as _re
+        from kgc.pdf import _Doc
+
+        data = open(self.FIXTURE, "rb").read()
+        broken = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
+        doc = _Doc(broken)
+        assert doc.scan_method == "regex"
+        assert len(doc.pages()) == 26  # tolerant path still extracts
+
+    def test_classic_xref_table(self):
+        from kgc.pdf import _Doc, extract_pages
+
+        pdf = _classic_pdf()
+        assert _Doc(pdf).scan_method == "xref"
+        assert extract_pages(pdf) == ["Hello classic xref"]
+
+    def test_poison_classes_raise_unsupported(self):
+        from kgc.pdf import PdfUnsupportedError, extract_pages
+
+        for name, payload in self._poison_cases().items():
+            try:
+                extract_pages(payload)
+                raise AssertionError(f"{name}: expected PdfUnsupportedError")
+            except PdfUnsupportedError:
+                pass
+
+    def test_poison_routes_to_quarantine_job_continues(self, spark):
+        """Five malformed-PDF classes -> quarantine rows with the real
+        reason in detail; the healthy PDF and text doc keep flowing."""
+        from kgc.parsers import parse_documents
+        from kgc.pipeline import quarantine_table
+
+        good = open(self.FIXTURE, "rb").read()
+        rows = [("good_pdf", "", "jean1.pdf", bytearray(good)),
+                ("good_txt", "plain text line", "notes.txt", None)]
+        rows += [(f"poison_{k}", "", f"{k}.pdf", bytearray(v))
+                 for k, v in self._poison_cases().items()]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, source string, payload binary")
+        docs = parse_documents(df, source_col="source", pdf_col="payload")
+        empty_segs = spark.createDataFrame(
+            [], "doc_id string, seg_id int, seg_text string, "
+                "n_tokens int, ok boolean")
+        quar = {r["doc_id"]: r for r in
+                quarantine_table(docs, empty_segs, 512).collect()}
+        assert set(quar) == {f"poison_{k}" for k in self._poison_cases()}
+        for k in self._poison_cases():
+            row = quar[f"poison_{k}"]
+            assert row["stage"] == "parse"
+            assert row["reason"] == "pdf_unsupported"
+            assert "PdfUnsupportedError" in row["detail"]
+        # specific reasons survive end-to-end
+        assert "not a PDF" in quar["poison_not_a_pdf"]["detail"]
+        assert "filter DCTDecode" in quar["poison_unsupported_filter"]["detail"]
+        assert "encrypted" in quar["poison_encrypted"]["detail"]
+        # healthy rows keep flowing
+        healthy = {r["doc_id"]: r["spans"] for r in docs.collect()}
+        assert len(healthy["good_pdf"]) == 26
+        assert [s["text"] for s in healthy["good_txt"]] == ["plain text line"]
