@@ -521,6 +521,71 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+# deterministic PII injection: the synthetic corpus carries no PII, so
+# both engines append the SAME generated email/IP/phone per doc_id —
+# acceptance AND the no-PII case (doc_id % 4 == 3) are exercised
+_PII_BOILER_HEAD = "subscribe to our newsletter for updates"
+_PII_BOILER_FOOT = "copyright example corp all rights reserved"
+
+
+def _pii_augmented(spark, sf_dir):
+    m = F.col("doc_id") % 4
+    extra = (
+        F.when(m == 0, F.concat(F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com")))
+        .when(m == 1, F.concat(F.lit(" from 10."),
+                               (F.col("doc_id") % 250).cast("string"),
+                               F.lit(".7.9")))
+        .when(m == 2, F.concat(F.lit(" call +33"),
+                               F.lpad((F.col("doc_id") % 1000000).cast("string"),
+                                      9, "0")))
+        .otherwise(F.lit(""))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+
+
+def q_pii_suite(spark, sf_dir):
+    """PII scan + redaction over the corpus (training-data pipeline
+    masking pass): one leg per surface — (doc_id, kind) → each match,
+    and doc_id → the fully redacted text."""
+    from kgc.textops import pii_hits, pii_redact
+
+    d = _pii_augmented(spark, sf_dir)
+    legs = [
+        _leg(pii_hits(d), "pii_hits",
+             F.concat_ws("#", F.col("doc_id"), F.col("kind")), F.col("hit")),
+        _leg(pii_redact(d), "pii_redact", F.col("doc_id"), F.col("redacted")),
+    ]
+    return legs[0].unionByName(legs[1])
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style boilerplate removal: every doc gets a shared header
+    paragraph (and even doc_ids a shared footer) plus its own text cut
+    into 12-token paragraphs; paragraphs occurring in ≥ 20 docs
+    corpus-wide are dropped, the rest reassembled in order."""
+    from kgc.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("_toks"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("_toks") - 1) / 12).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * 12 + 1, 12), " "),
+    )
+    d = d.select("doc_id", chunks.alias("_chunks"))
+    paras = F.concat(
+        F.array(F.lit(_PII_BOILER_HEAD)),
+        F.col("_chunks"),
+        F.when(F.col("doc_id") % 2 == 0, F.array(F.lit(_PII_BOILER_FOOT)))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    return paragraph_dedup(
+        d.select("doc_id", paras.alias("paragraphs")), min_count=20
+    )
+
+
 def q_corpus_mix(spark, sf_dir):
     """Training-mix composition per (lang, quality bucket): doc/token
     counts, token share, and the per-language upsampling weight for a
@@ -1627,6 +1692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "simhash_suite": q_simhash_suite,
         "ngram_jaccard": q_ngram_jaccard,
+        "paragraph_dedup": q_paragraph_dedup,
+        # -- text QA / masking --
+        "pii_suite": q_pii_suite,
         # -- similarity search / embeddings --
         "ann_topk": q_ann_topk,
         "ann_pandas": q_ann_pandas,
@@ -2996,6 +3064,58 @@ FROM ({q['dedup_groups']})
 UNION ALL
 SELECT 'survivor', doc_id, group_id::BIGINT, group_size::BIGINT, kept
 FROM ({q['dedup_survivors']})"""
+
+    # PII scan + redaction: the same deterministic injection as
+    # _pii_augmented, patterns imported from kgc.textops so the two
+    # engines can never drift
+    from kgc.textops import PII_PATTERNS
+
+    pii_aug = """
+SELECT doc_id, text || CASE (doc_id % 4)
+  WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+  WHEN 1 THEN ' from 10.' || (doc_id % 250)::VARCHAR || '.7.9'
+  WHEN 2 THEN ' call +33' || lpad((doc_id % 1000000)::VARCHAR, 9, '0')
+  ELSE '' END AS text
+FROM documents"""
+    pii_hit_legs = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{k}' AS kind, "
+        f"regexp_extract_all(text, '{p}', 0) AS hits FROM aug"
+        for k, p in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for k, p in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{p}', '<{k.upper()}>', 'g')"
+    q["pii_suite"] = f"""
+WITH aug AS ({pii_aug})
+SELECT 'pii_hits' AS fn, doc_id::VARCHAR || '#' || kind AS key,
+       unnest(hits) AS out
+FROM ({pii_hit_legs})
+UNION ALL
+SELECT 'pii_redact', doc_id::VARCHAR, {redacted} FROM aug"""
+
+    # paragraph dedup: identical paragraph construction (shared header,
+    # even-doc footer, 12-token chunks), count ≥ 20 ⇒ boilerplate
+    q["paragraph_dedup"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id,
+        list_transform(generate_series(0, CAST(floor((len(toks) - 1) / 12) AS INT)),
+                       i -> array_to_string(list_slice(toks, i*12 + 1, i*12 + 12), ' ')) AS chunks
+      FROM t),
+d AS (SELECT doc_id,
+        ['{_PII_BOILER_HEAD}'] || chunks ||
+        (CASE WHEN doc_id % 2 = 0 THEN ['{_PII_BOILER_FOOT}'] ELSE [] END) AS paras
+      FROM c),
+p AS (SELECT doc_id, unnest(paras) AS para,
+             generate_subscripts(paras, 1) AS pos FROM d),
+b AS (SELECT md5(para) AS ph FROM p GROUP BY 1 HAVING count(*) >= 20),
+k AS (SELECT doc_id, pos, para FROM p
+      WHERE md5(para) NOT IN (SELECT ph FROM b)),
+a AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS kept_text,
+             count(*) AS n_kept FROM k GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       (len(d.paras) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM d LEFT JOIN a USING (doc_id)"""
 
     # merged-away standalone entries (their SQL lives on inside the
     # suites above; queries() no longer registers these names)

@@ -96,6 +96,8 @@ def main() -> None:
     run("corpus_mix", em.q_corpus_mix)
     run("stratified_sample", em.q_stratified_sample)
     run("decontaminate", em.q_decontaminate)
+    run("paragraph_dedup", em.q_paragraph_dedup)
+    run("pii_suite", em.q_pii_suite)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -641,3 +641,63 @@ def decontaminate(
         F.countDistinct("eval_id").alias("n_eval_docs"),
         F.min("eval_id").alias("first_eval_id"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    para_col: str = "paragraphs",
+    id_col: str = "doc_id",
+    min_count: int = 30,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop every paragraph whose
+    exact text occurs in ≥ ``min_count`` documents corpus-wide (shared
+    boilerplate — headers, footers, cookie banners), keep the rest in
+    original order.
+
+    Input: (id_col, para_col array<string>).  Output one row per doc:
+    (doc_id, kept_text, n_kept, n_removed) — kept_text is the surviving
+    paragraphs rejoined with ``sep`` (empty string if everything was
+    boilerplate).  Docs whose paragraph array is EMPTY are omitted
+    (nothing to dedup — filter them out upstream with the quality
+    gates).
+
+    Scale shape: ONE wide shuffle — the corpus-wide count groupBy on
+    md5(paragraph) (map-side combined, md5-uniform key, no skew by
+    construction).  The boilerplate dimension (count ≥ min_count) is
+    tiny by definition — a paragraph must repeat across ≥ min_count
+    docs to qualify — so removal is a BROADCAST left join carrying a
+    boilerplate flag: the 100 TB side never reshuffles for it, and the
+    kept/removed counts fold into the SAME reassembly groupBy
+    (collect_list skips the null'd boilerplate rows), so the corpus is
+    scanned once per consumer — no separate totals pass, no second
+    join.  Reassembly orders partition-locally via array_sort over
+    (pos, para) structs; no window.
+    """
+    p = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(para_col)).alias("pos", "para"),
+    ).withColumn("ph", F.md5("para"))
+    boiler = (
+        p.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("ph", F.lit(True).alias("_boiler"))
+    )
+    flagged = p.join(F.broadcast(boiler), "ph", "left")
+    kept_struct = F.when(F.col("_boiler").isNull(), F.struct("pos", "para"))
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("kept_text"),
+        F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_boiler").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

@@ -11,19 +11,24 @@ from raw bytes:
   revision chains, hybrid /XRefStm) with fallback to a tolerant
   whole-file regex scan for files with broken or absent xref;
   /ObjStm object-stream expansion;
-* FlateDecode (zlib) with optional PNG predictors;
+* the five byte-stream filters text content realistically carries —
+  FlateDecode (zlib), LZWDecode (9→12-bit TIFF-style with EarlyChange),
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode — chained in /Filter
+  order, each with optional PNG predictors;
 * page-tree walk in /Kids order;
 * content-stream interpretation of the text operators (BT/ET, Tf, Tm,
   Td/TD/T*, Tj, TJ, ', ") — runs on the same baseline concatenate,
   a y-change starts a new line (Word emits absolute Tm per run);
 * byte→unicode via the font: Type0/Identity-H through the /ToUnicode
   CMap (bfchar + bfrange, 2-byte codes), simple fonts through
-  WinAnsiEncoding (cp1252) or latin-1.
+  WinAnsiEncoding (cp1252), MacRomanEncoding, or latin-1, with
+  /Differences glyph-name overrides resolved via the Adobe Glyph List
+  naming convention (TeX-style custom encodings).
 
-Anything outside the subset (other filters, encrypted files, fonts
-with neither ToUnicode nor a standard encoding) raises
-``PdfUnsupportedError`` — at pipeline level a poison document routes
-to the quarantine table (C5) instead of killing the job.
+Anything outside the subset (image-codec filters on a content stream,
+encrypted files, fonts with neither ToUnicode nor a standard encoding)
+raises ``PdfUnsupportedError`` — at pipeline level a poison document
+routes to the quarantine table (C5) instead of killing the job.
 """
 
 from __future__ import annotations
@@ -234,6 +239,103 @@ def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (spec 7.4.4): TIFF-style MSB-first variable-width
+    codes, 9→12 bits, clear=256, EOD=257; EarlyChange (default 1) grows
+    the code width one entry before the table fills."""
+    CLEAR, EOD = 256, 257
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfUnsupportedError("corrupt LZW stream: bad first code")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfUnsupportedError("corrupt LZW stream: code out of range")
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (spec 7.4.2): hex pairs, whitespace ignored,
+    '>' ends the stream, an odd trailing digit is padded with 0."""
+    body = data.split(b">", 1)[0]
+    hexs = b"".join(body.split())
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfUnsupportedError(f"corrupt ASCIIHex stream: {e}")
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (spec 7.4.3): base-85 groups with the 'z' zero
+    shorthand; optional '<~' prefix, '~>' terminator."""
+    import base64
+
+    body = bytes(data).strip()
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~>")
+    if end != -1:
+        body = body[:end]
+    try:
+        return base64.a85decode(body, ignorechars=b" \t\n\r\v\x0c")
+    except ValueError as e:
+        raise PdfUnsupportedError(f"corrupt ASCII85 stream: {e}")
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec 7.4.5): length byte L — L<128 copies the
+    next L+1 bytes, L>128 repeats the next byte 257−L times, 128=EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            chunk = data[i : i + length + 1]
+            if len(chunk) != length + 1:
+                raise PdfUnsupportedError("truncated RunLength stream")
+            out += chunk
+            i += length + 1
+        else:
+            if i >= n:
+                raise PdfUnsupportedError("truncated RunLength stream")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
 _OBJ_AT = re.compile(rb"[\r\n\t\x0c\x00 ]*(\d+)\s+\d+\s+obj\b")
 
 
@@ -427,13 +529,27 @@ class _Doc:
         out = stream
         for i, f in enumerate(filters):
             f = self.resolve(f)
-            if f != "FlateDecode":
-                raise PdfUnsupportedError(f"filter {f}")
-            try:
-                out = zlib.decompress(out)
-            except zlib.error as e:
-                raise PdfUnsupportedError(f"corrupt FlateDecode stream: {e}")
             p = self.resolve(parms_list[i]) if i < len(parms_list) else None
+            if f in ("FlateDecode", "Fl"):
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error as e:
+                    raise PdfUnsupportedError(f"corrupt FlateDecode stream: {e}")
+            elif f in ("LZWDecode", "LZW"):
+                early = 1
+                if isinstance(p, dict) and p.get("EarlyChange") is not None:
+                    early = int(self.resolve(p["EarlyChange"]))
+                out = _lzw_decode(out, early)
+            elif f in ("ASCIIHexDecode", "AHx"):
+                out = _ahx_decode(out)
+            elif f in ("ASCII85Decode", "A85"):
+                out = _a85_decode(out)
+            elif f in ("RunLengthDecode", "RL"):
+                out = _rl_decode(out)
+            elif f == "Crypt":
+                raise PdfUnsupportedError("filter Crypt (encrypted stream)")
+            else:  # DCT/JPX/CCITT/JBIG2 are image codecs, never text
+                raise PdfUnsupportedError(f"filter {f}")
             if isinstance(p, dict) and p.get("Predictor"):
                 out = _png_unpredict(
                     out,
@@ -532,11 +648,116 @@ def _cmap_decoder(doc: _Doc, to_unicode) -> "callable":
     return decode
 
 
-def _simple_decoder(encoding) -> "callable":
-    codec = "cp1252" if encoding == "WinAnsiEncoding" else "latin-1"
+# Adobe Glyph List subset: the non-letter names word processors and TeX
+# put in /Differences arrays.  Accented letters are derived from their
+# AGL naming convention (letter + accent) via unicodedata.lookup below.
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "minus": "−", "multiply": "×",
+    "divide": "÷", "plusminus": "±", "degree": "°",
+    "fi": "ﬁ", "fl": "ﬂ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "ff": "ﬀ", "germandbls": "ß", "ae": "æ",
+    "AE": "Æ", "oe": "œ", "OE": "Œ", "oslash": "ø",
+    "Oslash": "Ø", "dotlessi": "ı", "lslash": "ł",
+    "Lslash": "Ł", "eth": "ð", "Eth": "Ð",
+    "thorn": "þ", "Thorn": "Þ", "florin": "ƒ",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "currency": "¤", "Euro": "€", "euro": "€",
+    "section": "§", "paragraph": "¶", "copyright": "©",
+    "registered": "®", "trademark": "™", "micro": "µ",
+    "exclamdown": "¡", "questiondown": "¿",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "brokenbar": "¦", "logicalnot": "¬", "macron": "¯",
+    "acute": "´", "cedilla": "¸", "dieresis": "¨",
+    "circumflex": "ˆ", "tilde": "˜", "caron": "ˇ",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "periodcentered": "·", "middot": "·", "nbspace": " ",
+}
+
+_ACCENT_NAMES = {
+    "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+    "dieresis": "DIAERESIS", "tilde": "TILDE", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "caron": "CARON", "breve": "BREVE",
+    "macron": "MACRON", "ogonek": "OGONEK", "hungarumlaut":
+    "DOUBLE ACUTE", "slash": "STROKE", "dotaccent": "DOT ABOVE",
+}
+
+_ACCENTED = re.compile(
+    "([A-Za-z])(%s)$" % "|".join(sorted(_ACCENT_NAMES, key=len, reverse=True))
+)
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """AGL-convention glyph name → unicode char (None if unknown)."""
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if len(name) == 1:
+        return name
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        return chr(int(name[1:], 16))
+    m = _ACCENTED.fullmatch(name)
+    if m:
+        import unicodedata
+
+        case = "CAPITAL" if m.group(1).isupper() else "SMALL"
+        try:
+            return unicodedata.lookup(
+                f"LATIN {case} LETTER {m.group(1).upper()} "
+                f"WITH {_ACCENT_NAMES[m.group(2)]}"
+            )
+        except KeyError:
+            return None
+    return None
+
+
+def _simple_decoder(encoding, differences=None) -> "callable":
+    if encoding == "WinAnsiEncoding":
+        codec = "cp1252"
+    elif encoding == "MacRomanEncoding":
+        codec = "mac_roman"
+    else:
+        codec = "latin-1"
+    over: dict[int, str] = {}
+    if differences:  # [code /name /name code /name ...] (spec 9.6.6.3)
+        code = 0
+        for item in differences:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                ch = _glyph_to_char(str(item))
+                if ch is not None:
+                    over[code] = ch
+                code += 1
 
     def decode(raw: bytes) -> str:
-        return raw.decode(codec, "replace")
+        if not over:
+            return raw.decode(codec, "replace")
+        return "".join(
+            over.get(b) or bytes([b]).decode(codec, "replace") for b in raw
+        )
 
     return decode
 
@@ -558,7 +779,15 @@ def _font_decoders(doc: _Doc, page: dict) -> dict[str, "callable"]:
         if f.get("Subtype") == "Type0":
             raise PdfUnsupportedError(f"Type0 font {name} without usable ToUnicode")
         enc = doc.resolve(f.get("Encoding"))
-        out[name] = _simple_decoder(enc if isinstance(enc, str) else None)
+        if isinstance(enc, dict):  # /BaseEncoding + /Differences
+            base = doc.resolve(enc.get("BaseEncoding"))
+            diffs = doc.resolve(enc.get("Differences"))
+            out[name] = _simple_decoder(
+                base if isinstance(base, str) else None,
+                diffs if isinstance(diffs, list) else None,
+            )
+        else:
+            out[name] = _simple_decoder(enc if isinstance(enc, str) else None)
     return out
 
 

@@ -444,3 +444,53 @@ def tfidf_top_terms(
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------- PII -----
+#: extraction patterns restricted to the Java-regex ∩ RE2 common subset
+#: so the DuckDB oracle replays them verbatim (same \b, \d, {m,n}
+#: semantics in both engines — no lookaround, no backreferences)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{9,14}\b",
+}
+
+
+def _tag_kind(kind: str):
+    # closure-bind OUTSIDE the HOF lambda: `lambda h, k=kind: ...` would
+    # become a 2-arg pyspark lambda with an unresolved Column default
+    return lambda h: F.struct(F.lit(kind).alias("kind"), h.alias("hit"))
+
+
+def pii_hits(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, kind, hit) — one row per PII match in the document.
+
+    Single pass over the text: all patterns are extracted in ONE
+    projection (array-of-structs per kind, flattened, exploded), so a
+    100 TB scan reads each byte once — not once per pattern.  Pure
+    Catalyst: regexp_extract_all + explode, whole-stage codegen, no
+    Python.  Docs with no matches vanish via the inner explode.
+    """
+    per_kind = [
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0),
+            _tag_kind(kind),
+        )
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.flatten(F.array(*per_kind))).alias("m"),
+    ).select("doc_id", F.col("m.kind").alias("kind"), F.col("m.hit").alias("hit"))
+
+
+def pii_redact(df, text_col: str = "text", out_col: str = "redacted"):
+    """Replace every PII match with its <KIND> placeholder — the
+    masking pass a training-data pipeline runs before tokenization.
+    Chained regexp_replace in PII_PATTERNS order (email → ipv4 →
+    phone); one projection, codegen'd, zero shuffles."""
+    c = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col, c)

@@ -223,3 +223,53 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     # ~0.99 vs ~0 across clusters); probing 2 cells out of 10 must
     # recover nearly every within-cluster neighbor
     assert recall >= 0.9, recall
+
+
+# ------------------------------------------------------- PII / paragraphs ---
+def test_pii_hits_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call +33612345678"),
+            (2, "server at 192.168.1.254 and 10.0.0.1 in the rack"),
+            (3, "no pii here at all"),
+            (4, "version 1.2.3.4.5 has dots"),  # 5 octets still hits 4
+        ],
+        "doc_id long, text string",
+    )
+    hits = {(r["doc_id"], r["kind"], r["hit"])
+            for r in textops.pii_hits(df).collect()}
+    assert (1, "email", "jo.doe+x@sub.example.org") in hits
+    assert (1, "phone", "+33612345678") in hits
+    assert (2, "ipv4", "192.168.1.254") in hits
+    assert (2, "ipv4", "10.0.0.1") in hits
+    assert not any(d == 3 for d, _, _ in hits)
+
+    red = {r["doc_id"]: r["redacted"]
+           for r in textops.pii_redact(df).collect()}
+    assert red[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert red[2] == "server at <IPV4> and <IPV4> in the rack"
+    assert red[3] == "no pii here at all"
+
+
+def test_paragraph_dedup_removes_boilerplate_keeps_order(spark):
+    boiler = "all rights reserved"
+    rows = [
+        (i, [f"doc {i} intro", boiler, f"doc {i} body", f"doc {i} outro"])
+        for i in range(10)
+    ] + [(99, [boiler])]  # a doc that is ONLY boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, paragraphs array<string>")
+    out = {r["doc_id"]: r
+           for r in dedup.paragraph_dedup(df, min_count=5).collect()}
+    assert len(out) == 11
+    assert out[0]["kept_text"] == "doc 0 intro\ndoc 0 body\ndoc 0 outro"
+    assert out[0]["n_kept"] == 3 and out[0]["n_removed"] == 1
+    assert out[99]["kept_text"] == "" and out[99]["n_kept"] == 0
+    assert out[99]["n_removed"] == 1
+
+
+def test_paragraph_dedup_below_threshold_keeps_everything(spark):
+    rows = [(i, ["shared line", f"own {i}"]) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, paragraphs array<string>")
+    out = dedup.paragraph_dedup(df, min_count=5).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert all(r["kept_text"].startswith("shared line\n") for r in out)

