@@ -586,6 +586,15 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (CCNet-style): the corpus trains an
+    add-one-smoothed bigram model of itself; each doc scored by average
+    bigram log-probability in deterministic micro-nats."""
+    from kgc.textops import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_corpus_mix(spark, sf_dir):
     """Training-mix composition per (lang, quality bucket): doc/token
     counts, token share, and the per-language upsampling weight for a
@@ -1695,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         # -- text QA / masking --
         "pii_suite": q_pii_suite,
+        "lm_score": q_lm_score,
         # -- similarity search / embeddings --
         "ann_topk": q_ann_topk,
         "ann_pandas": q_ann_pandas,
@@ -3116,6 +3126,29 @@ SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
        coalesce(a.n_kept, 0)::BIGINT AS n_kept,
        (len(d.paras) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
 FROM d LEFT JOIN a USING (doc_id)"""
+
+    # bigram-LM scoring: identical model (add-one smoothing, V =
+    # distinct tokens), identical micro-nat integerization
+    q["lm_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+              j -> array_to_string(list_slice(toks, j, j + 1), ' '))) AS g
+       FROM t WHERE len(toks) >= 2),
+c12 AS (SELECT g, count(*) AS c12 FROM bg GROUP BY g),
+c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(c12) AS c1
+       FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM t)),
+model AS (SELECT g,
+          CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000, 0) AS BIGINT)
+            AS logp_micro
+          FROM c12 JOIN c1 ON split_part(c12.g, ' ', 1) = c1.w1
+          CROSS JOIN v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(logp_micro)::BIGINT AS sum_logp_micro,
+       round(sum(logp_micro) / 1000000.0 / count(*), 6) AS avg_logp
+FROM bg JOIN model USING (g)
+GROUP BY doc_id"""
 
     # merged-away standalone entries (their SQL lives on inside the
     # suites above; queries() no longer registers these names)

@@ -98,6 +98,7 @@ def main() -> None:
     run("decontaminate", em.q_decontaminate)
     run("paragraph_dedup", em.q_paragraph_dedup)
     run("pii_suite", em.q_pii_suite)
+    run("lm_score", em.q_lm_score)
 
     total = round(sum(timings.values()), 3)
     out = {

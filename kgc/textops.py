@@ -494,3 +494,72 @@ def pii_redact(df, text_col: str = "text", out_col: str = "redacted"):
     for kind, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
     return df.withColumn(out_col, c)
+
+
+# --------------------------------------------------------- bigram LM -----
+def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style LM quality signal: an add-one-smoothed bigram
+    language model trained on the corpus itself, then every document
+    scored by its average bigram log-probability — low scores flag
+    outlier/garbage text relative to the corpus distribution.
+
+    Output: (doc_id, n_bigrams, sum_logp_micro, avg_logp).  Log-probs
+    ride as MICRO-NATS (round(ln·1e6) → bigint) so the per-doc SUM is
+    integer-associative — bit-identical across partitionings and
+    engines (the float-SUM ordering hazard; same trick as the
+    integer-cents revenue rollups).  avg_logp = sum/1e6/n rounded to 6
+    places (exact-integer→double divisions, deterministic).
+
+    Scale shape: two map-side-combined groupBys build the model (gram
+    counts, then context counts aggregated FROM the gram table — the
+    raw token stream is never re-shuffled); the vocabulary size rides
+    as a broadcast 1-row cross join.  Scoring joins the doc-bigram
+    stream to the model on the gram key — shuffle join; natural-
+    language bigrams are Zipf-skewed ('of the'), which AQE skew-join
+    splits, and a sampled-training + broadcast-model variant is the
+    cheaper path when the model must stay small.  Docs with < 2 tokens
+    have no bigram and are omitted.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
+    )
+    bg = d.select("doc_id", F.explode(_full_grams(F.col("_toks"), 2)).alias("g"))
+    c12 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    c1 = (
+        c12.select(w1.alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = d.select(F.explode("_toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    model = (
+        c12.withColumn("w1", w1)
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        bg.join(model, "g")  # inner — every doc gram exists in the model
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+        .withColumn(
+            "avg_logp",
+            F.round(F.col("sum_logp_micro") / 1e6 / F.col("n_bigrams"), 6),
+        )
+    )

@@ -273,3 +273,28 @@ def test_paragraph_dedup_below_threshold_keeps_everything(spark):
     out = dedup.paragraph_dedup(df, min_count=5).collect()
     assert all(r["n_removed"] == 0 for r in out)
     assert all(r["kept_text"].startswith("shared line\n") for r in out)
+
+
+def test_bigram_lm_flags_outlier(spark):
+    corpus = [(i, "the quick brown fox jumps over the lazy dog again")
+              for i in range(8)]
+    corpus.append((99, "zxq vvk wopq jjt qqz mmx"))  # out-of-distribution
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.bigram_lm_scores(df).collect()}
+    assert len(out) == 9
+    # every in-distribution doc scores identically and above the outlier
+    scores = {out[i]["avg_logp"] for i in range(8)}
+    assert len(scores) == 1
+    assert out[99]["avg_logp"] < min(scores)
+    assert out[99]["n_bigrams"] == 5
+    # sum is exact micro-nat integer arithmetic
+    assert out[99]["sum_logp_micro"] == sum(
+        [out[99]["sum_logp_micro"] // 5] * 5) + out[99]["sum_logp_micro"] % 5
+
+
+def test_bigram_lm_short_docs_omitted(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string")
+    out = {r["doc_id"] for r in textops.bigram_lm_scores(df).collect()}
+    assert out == {3}
