@@ -595,6 +595,89 @@ def q_lm_score(spark, sf_dir):
     return bigram_lm_scores(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+# corpus-curation gate thresholds, chosen from the sf0.01 signal
+# distributions so every stage is non-vacuous (dup/quality/sampled_out/
+# kept all populated); identical literals in the DuckDB oracle
+_CURATE = {"score_min": 0.52, "logp_min": -3.41, "top_frac_max": 0.06,
+           "en_rate": 0.5, "salt": "curate"}
+
+
+def q_corpus_curation(spark, sf_dir):
+    """END-TO-END training-corpus curation with per-doc exit lineage —
+    the composition a real 100 TB data pipeline runs: exact dedup
+    (25 planted duplicate copies + any natural text dups) → per-doc
+    quality gates (quality score, bigram-LM log-prob, Gopher top-bigram
+    fraction — signals computed on dedup SURVIVORS so duplicates never
+    bias the LM) → deterministic md5-threshold downsample of dominant
+    English.  One row per corpus doc: (doc_id, stage, lang, score,
+    avg_logp) where stage ∈ dup | quality | sampled_out | kept records
+    where the doc exited (signals are NULL for dup rows — never
+    computed for them, the point of deduping first)."""
+    from kgc.mix import _hex_threshold
+    from kgc.textops import (
+        bigram_lm_scores,
+        ngram_repetition,
+        with_language,
+        with_quality_features,
+    )
+
+    d0 = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d0.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d0.unionByName(planted)
+    keyed = corpus.withColumn("_h", F.md5("text"))
+    firsts = keyed.groupBy("_h").agg(F.min("doc_id").alias("_first"))
+    tagged = keyed.join(firsts, "_h")
+    nulls = [
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("double").alias("avg_logp"),
+    ]
+    dup = tagged.filter(F.col("doc_id") != F.col("_first")).select(
+        "doc_id", F.lit("dup").alias("stage"), *nulls
+    )
+    # persist the survivor set: four signal families consume it, and
+    # without the pin each branch would replay the scan + dedup join
+    # (the plan audit read 45 parquet scans unpinned, 3 pinned);
+    # released by bench/verify via _kgc_pinned → kgc.pipeline.release
+    surv = (
+        tagged.filter(F.col("doc_id") == F.col("_first"))
+        .select("doc_id", "text")
+        .persist()
+    )
+    sig = (
+        with_language(with_quality_features(surv))
+        .select("doc_id", "lang", "score")
+        .join(ngram_repetition(surv).select("doc_id", "top_ngram_frac"), "doc_id")
+        .join(bigram_lm_scores(surv).select("doc_id", "avg_logp"), "doc_id")
+    )
+    fail = (
+        (F.col("score") < _CURATE["score_min"])
+        | (F.col("avg_logp") < _CURATE["logp_min"])
+        | (F.col("top_ngram_frac") > _CURATE["top_frac_max"])
+    )
+    qrows = sig.filter(fail).select(
+        "doc_id", F.lit("quality").alias("stage"), "lang", "score", "avg_logp"
+    )
+    skey = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit("|" + _CURATE["salt"]))), 1, 8
+    )
+    thr = F.when(
+        F.col("lang") == "en", F.lit(_hex_threshold(_CURATE["en_rate"]))
+    ).otherwise(F.lit(_hex_threshold(1.0)))
+    srows = sig.filter(~fail).select(
+        "doc_id",
+        F.when(skey < thr, F.lit("kept")).otherwise(F.lit("sampled_out"))
+        .alias("stage"),
+        "lang", "score", "avg_logp",
+    )
+    out = dup.unionByName(qrows).unionByName(srows)
+    out._kgc_pinned = [surv]  # released by kgc.pipeline.release
+    return out
+
+
 def q_corpus_mix(spark, sf_dir):
     """Training-mix composition per (lang, quality bucket): doc/token
     counts, token share, and the per-language upsampling weight for a
@@ -1705,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text QA / masking --
         "pii_suite": q_pii_suite,
         "lm_score": q_lm_score,
+        "corpus_curation": q_corpus_curation,
         # -- similarity search / embeddings --
         "ann_topk": q_ann_topk,
         "ann_pandas": q_ann_pandas,
@@ -3149,6 +3233,47 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        round(sum(logp_micro) / 1000000.0 / count(*), 6) AS avg_logp
 FROM bg JOIN model USING (g)
 GROUP BY doc_id"""
+
+    # corpus curation: signals replay on dedup SURVIVORS — retarget the
+    # standalone twins' scan (each reads `FROM documents` exactly once)
+    def _on_survivors(sql: str) -> str:
+        if "FROM documents" not in sql:
+            raise AssertionError("twin no longer scans documents; fix retarget")
+        return sql.replace("FROM documents", "FROM survivors")
+
+    _gate = (f"score < {_CURATE['score_min']} OR avg_logp < "
+             f"{_CURATE['logp_min']} OR top_ngram_frac > "
+             f"{_CURATE['top_frac_max']}")
+    from kgc.mix import _hex_threshold as _ht
+
+    _en_thr, _all_thr = _ht(_CURATE["en_rate"]), _ht(1.0)
+    q["corpus_curation"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id < 25),
+firsts AS (SELECT md5(text) AS h, min(doc_id) AS f FROM corpus GROUP BY 1),
+tagged AS (SELECT c.doc_id, c.text, f.f
+           FROM corpus c JOIN firsts f ON md5(c.text) = f.h),
+survivors AS (SELECT doc_id, text FROM tagged WHERE doc_id = f),
+sig AS (SELECT l.doc_id, l.lang_pred AS lang, x.score, r.top_ngram_frac,
+               m.avg_logp
+        FROM ({_on_survivors(q['langid'])}) l
+        JOIN ({_on_survivors(q['quality'])}) x USING (doc_id)
+        JOIN ({_on_survivors(q['repetition'])}) r USING (doc_id)
+        JOIN ({_on_survivors(q['lm_score'])}) m USING (doc_id))
+SELECT doc_id, 'dup' AS stage, NULL::VARCHAR AS lang,
+       NULL::DOUBLE AS score, NULL::DOUBLE AS avg_logp
+FROM tagged WHERE doc_id != f
+UNION ALL
+SELECT doc_id, 'quality', lang, score, avg_logp FROM sig WHERE {_gate}
+UNION ALL
+SELECT doc_id,
+       CASE WHEN substring(md5(doc_id::VARCHAR || '|{_CURATE["salt"]}'), 1, 8)
+                 < (CASE WHEN lang = 'en' THEN '{_en_thr}' ELSE '{_all_thr}' END)
+            THEN 'kept' ELSE 'sampled_out' END,
+       lang, score, avg_logp
+FROM sig WHERE NOT ({_gate})"""
 
     # merged-away standalone entries (their SQL lives on inside the
     # suites above; queries() no longer registers these names)

@@ -99,6 +99,7 @@ def main() -> None:
     run("paragraph_dedup", em.q_paragraph_dedup)
     run("pii_suite", em.q_pii_suite)
     run("lm_score", em.q_lm_score)
+    run("corpus_curation", em.q_corpus_curation)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -298,3 +298,26 @@ def test_bigram_lm_short_docs_omitted(spark):
         "doc_id long, text string")
     out = {r["doc_id"] for r in textops.bigram_lm_scores(df).collect()}
     assert out == {3}
+
+
+def test_corpus_curation_lineage_stages(spark):
+    import __spark_entry__ as em
+
+    out = em.q_corpus_curation(spark, "/root/testdata/sf0.001").collect()
+    by_stage: dict[str, list] = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    # every exit stage populated; planted dups all exit at 'dup'
+    assert set(by_stage) == {"dup", "quality", "sampled_out", "kept"}
+    assert {r["doc_id"] for r in by_stage["dup"]} == {
+        100000 + i for i in range(25)}
+    # dup rows never get signals; survivors always do
+    assert all(r["lang"] is None and r["score"] is None
+               for r in by_stage["dup"])
+    assert all(r["score"] is not None and r["avg_logp"] is not None
+               for s in ("quality", "sampled_out", "kept")
+               for r in by_stage[s])
+    # exactly one exit per doc
+    assert len(out) == len({r["doc_id"] for r in out})
+    # only English docs can be sampled out (others keep at rate 1.0)
+    assert all(r["lang"] == "en" for r in by_stage["sampled_out"])
