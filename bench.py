@@ -100,6 +100,16 @@ def main() -> None:
     run("pii_suite", em.q_pii_suite)
     run("lm_score", em.q_lm_score)
     run("corpus_curation", em.q_corpus_curation)
+    run("dup_ngrams", em.q_dup_ngrams)
+    run("source_caps", em.q_source_caps)
+    # semantic_dedup: centroid training happens at plan-build (same
+    # amortized-offline treatment as ann_ivf); the timed dataflow is
+    # assignment + in-cell pair scan + verdict join.
+    run("semantic_dedup", em.q_semantic_dedup)
+    run("entity_cocitation", em.q_entity_cocitation)
+    # subclass_closure is driver-iterative (the closure materializes
+    # during plan build, like pagerank_entities) — excluded for the
+    # same reason pagerank is.
 
     total = round(sum(timings.values()), 3)
     out = {

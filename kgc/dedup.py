@@ -701,3 +701,93 @@ def paragraph_dedup(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+def duplicated_ngram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring duplication signal at fixed width ``n`` — the
+    cross-document n-gram criterion of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    where a token span occurring verbatim in ≥ 2 distinct documents is
+    training-set duplication (the suffix-array criterion approximated
+    by a fixed gram width, the standard Spark-shaped variant).
+
+    Output one row per doc:
+      (doc_id, n_toks, n_grams, n_dup_grams, covered_toks)
+    where n_dup_grams counts this doc's n-grams that also occur in at
+    least one OTHER document, and covered_toks counts the distinct
+    token positions covered by such grams (the span a masking pass
+    would redact; covered_toks/n_toks is the doc's duplication
+    fraction).  Docs with fewer than ``n`` tokens have zero grams.
+
+    Scale shape: grams carry (doc_id, pos, md5(gram)) only — never the
+    text; the corpus-wide gram frequency is one map-side-combined
+    groupBy on the md5-uniform hash (no skew by construction), and the
+    dup verdict returns via a same-key shuffle join (the dup-gram set
+    is NOT broadcast-small at 100 TB — common boilerplate n-grams are
+    a large dimension).  Coverage dedups positions with one more
+    groupBy on doc_id.  Three bounded shuffles total, all on uniform
+    keys.
+    """
+    from kgc.textops import norm_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("toks")
+    )
+    # staged projection: materialize the token array once before the
+    # HOF gram build (interpreted eval has no CSE; see BASELINE.md)
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda j: F.struct(
+                    j.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("toks", j + 1, n), " ")
+                    ).alias("gh"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+        .alias("grams"),
+    )
+    grams = base.select(
+        "doc_id", F.explode("grams").alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    dup_grams = grams.join(dup, "gh")
+    per_dup = dup_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams")
+    )
+    covered = (
+        dup_grams.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("idx").cast("bigint").alias("covered_toks"))
+    )
+    totals = base.select(
+        "doc_id", "n_toks", F.size("grams").cast("bigint").alias("n_grams")
+    )
+    return (
+        totals.join(per_dup, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id", "n_toks", "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("covered_toks", F.lit(0)).cast("bigint").alias("covered_toks"),
+        )
+    )

@@ -152,3 +152,115 @@ def comention_edges(doc_entities: DataFrame, doc_col: str = "doc_id",
     return pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(src, dst, depth) — all pairs connected by a directed path of
+    length 1..max_depth, with depth = path length.  The KG use case is
+    RDFS ``subClassOf*`` materialization (type inference: an entity
+    typed Person is also a Thing), where the reference keeps only the
+    DIRECT parent per type (internal/schema/schema.go:85-90,
+    `_first_ref` semantics in kgc.vocab.load_schemaorg) and never
+    walks the chain; materializing the closure is what a triple store
+    does at load time.
+
+    Algorithm: path doubling.  Round k holds every path of length
+    ≤ 2^k; one self-join per round extends paths by paths, so depth D
+    closes in ⌈log2 D⌉ shuffles instead of D for the naive frontier
+    walk — at 10^12-triple scale the join count is the dominant cost
+    and log-depth wins.  Each round shuffles on the junction column
+    only; `dropDuplicates` keeps the SHORTEST depth per (src, dst)
+    (min-aggregated), which is well-defined on DAGs and terminates on
+    cycles because depth is capped by ``max_depth``.
+
+    Assumes a DAG (schema.org's single-parent tree qualifies); on a
+    cyclic input the cap still guarantees termination, and pairs on a
+    cycle report the shortest path length.
+    """
+    paths = (
+        edges.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(dst).cast("string").alias("d"),
+            F.lit(1).alias("depth"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .dropDuplicates(["s", "d"])
+        .persist()
+    )
+    pinned = [paths]
+    reach = 1
+    while reach < max_depth:
+        left, right = paths.alias("l"), paths.alias("r")
+        extended = (
+            left.join(right, F.col("l.d") == F.col("r.s"))
+            .select(
+                F.col("l.s").alias("s"),
+                F.col("r.d").alias("d"),
+                (F.col("l.depth") + F.col("r.depth")).alias("depth"),
+            )
+            .filter(F.col("depth") <= max_depth)
+        )
+        new_paths = (
+            paths.unionByName(extended)
+            .groupBy("s", "d")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if checkpoint:
+            new_paths = new_paths.localCheckpoint(eager=True)
+        grew = new_paths.count() > paths.count()
+        paths.unpersist()
+        pinned[0] = paths = new_paths
+        if not grew:
+            break
+        reach *= 2
+    out = paths.select(
+        F.col("s").alias(src), F.col("d").alias(dst), "depth"
+    )
+    out._kgc_pinned = pinned  # released by kgc.pipeline.release
+    return out
+
+
+def entity_cocitation(
+    doc_entities: DataFrame,
+    doc_col: str = "doc_id",
+    ent_col: str = "entity_id",
+    df_cap: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — document pairs related through the
+    constructed KG: two docs are co-cited when the entity linker
+    resolved at least one common canonical entity in both, n_shared
+    counts the common entities.  This is the 2-hop triple-pattern join
+    (?d1 mentions ?e) ⋈ (?d2 mentions ?e) a triple store answers for
+    "related documents", materialized Spark-side.
+
+    ``df_cap`` is the hub guard: an entity linked in F documents
+    yields F·(F−1)/2 pairs, so corpus-stopword entities ("France")
+    would go quadratic — entities above the document-frequency cap are
+    excluded BEFORE the self-join (standard co-citation practice: a
+    hub shared by everything carries no relatedness signal anyway).
+    With the cap, per-key fan-out is bounded by df_cap² and the
+    self-join shuffles on the entity key only.
+    """
+    de = doc_entities.select(
+        F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e")
+    ).distinct()
+    allowed = (
+        de.groupBy("_e")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("_e")
+    )
+    bounded = de.join(allowed, "_e")
+    x, y = bounded.alias("x"), bounded.alias("y")
+    return (
+        x.join(y, F.col("x._e") == F.col("y._e"))
+        .filter(F.col("x._d") < F.col("y._d"))
+        .groupBy(F.col("x._d").alias("doc_a"), F.col("y._d").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -28,7 +28,7 @@ the same textops primitives as langid/quality (kgc/textops.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgc.textops import quality_score, with_language
@@ -182,4 +182,36 @@ def stratified_sample(
             < F.coalesce(F.col("thr"), F.lit(_hex_threshold(default_rate)))
         )
         .select("doc_id", "lang", "sample_key")
+    )
+
+
+def source_caps(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 20,
+) -> DataFrame:
+    """Per-source document cap — the per-domain balancing step of
+    web-corpus curation (FineWeb / Dolma keep at most K pages per
+    registered domain so mega-sites cannot dominate the training mix).
+    Keeps at most ``cap`` docs per source, selected by md5-of-id rank:
+    deterministic across retries and resumes (unlike df.sample), and
+    uniform within each source (the hash is the shuffle).
+
+    Output: kept rows only — (doc_id, source, rk), rk ∈ [1, cap].
+
+    Scale shape: rank ≤ cap over a partitionBy(source) window compiles
+    to WindowGroupLimit (Spark ≥ 3.5): each map task pre-filters its
+    local top-``cap`` per source BEFORE the exchange, so a mega-source
+    ships at most cap × n_partitions rows, not its full row count —
+    the skew a plain window would concentrate on one reducer is capped
+    at the source.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= cap)
     )

@@ -356,3 +356,58 @@ def topk_ivf(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then within each cluster drop every vector
+    that has a LOWER-id in-cluster neighbor with cosine ≥ ``tau`` —
+    semantic near-duplicates that survive lexical dedup (paraphrases,
+    templated rewrites).  The lowest id of each near-dup set is the
+    deterministic survivor (greedy-by-id, the SemDeDup keep-one rule
+    with a reproducible tie-break).
+
+    Output: (c_id, cid, kept boolean) for EVERY corpus vector.
+
+    Scale shape: identical blocking to ``topk_ivf`` — centroids ride
+    as broadcast DATA, assignment is one window argmax, and nothing
+    pairwise ever leaves a cell; cell population is bounded by growing
+    n_centroids ∝ corpus size (cluster count is the knob, per-cell
+    cost stays constant).  Cosines are rounded to 6 dp before the
+    threshold so the verdict is stable across partial-agg orders (and
+    replayable by the DuckDB oracle).
+    """
+    spark = corpus.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in centroids], "cid int, centroid array<double>"
+        )
+    )
+    assigned = _assign(corpus, cdf, c_id, c_vec).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .filter(F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6) >= tau)
+        .select(F.col("b.neighbor_id").alias("_dropped"))
+        .distinct()
+    )
+    out = (
+        assigned.join(dropped, assigned.neighbor_id == dropped._dropped, "left")
+        .select(
+            F.col("neighbor_id").alias(c_id),
+            "cid",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
+    out._kgc_pinned = [assigned]  # released by kgc.pipeline.release
+    return out

@@ -127,3 +127,60 @@ def test_tfidf_top_terms_discriminative(spark):
         if r["term"] == "common":
             assert r["tfidf"] == 0.0
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_transitive_closure_chain_and_dag(spark):
+    from kgc.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),        # chain
+         ("p", "q"), ("p", "r"), ("q", "s"), ("r", "s")],  # diamond
+        "src string, dst string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["depth"]
+        for r in transitive_closure(edges).collect()
+    }
+    assert got[("a", "d")] == 3 and got[("a", "c")] == 2
+    # diamond: two paths p→s, shortest depth wins
+    assert got[("p", "s")] == 2
+    assert ("d", "a") not in got  # directed
+    assert len(got) == 6 + 5
+
+
+def test_transitive_closure_matches_driver_walk_on_schemaorg(spark):
+    """The distributed path-doubling closure and the driver-side dict
+    walk (kgc.vocab.type_ancestors) must agree on the real ~900-class
+    schema.org DAG — same pairs, reflexive rows aside."""
+    from kgc.graph import transitive_closure
+    from kgc.vocab import load_schemaorg, release_vocab, type_ancestors
+    from pyspark.sql import functions as F
+
+    types, _ = load_schemaorg(spark)
+    walk = {
+        (r["type_id"], r["ancestor_id"])
+        for r in type_ancestors(types).collect()
+        if r["type_id"] != r["ancestor_id"]
+    }
+    edges = types.filter(F.col("subclass_of").isNotNull()).select(
+        F.col("type_id").alias("src"), F.col("subclass_of").alias("dst")
+    )
+    dist = {(r["src"], r["dst"]) for r in transitive_closure(edges).collect()}
+    assert dist == walk
+    release_vocab()
+
+
+def test_entity_cocitation_counts_and_hub_cap(spark):
+    from kgc.graph import entity_cocitation
+
+    de = spark.createDataFrame(
+        [(1, "e1"), (2, "e1"), (1, "e2"), (2, "e2"), (3, "e1"),
+         # hub entity in every doc — must be excluded at df_cap=3
+         (1, "hub"), (2, "hub"), (3, "hub"), (4, "hub"), (5, "hub")],
+        "doc_id int, entity_id string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in entity_cocitation(de, df_cap=3).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}

@@ -227,3 +227,65 @@ def test_incremental_dedup_probes_corpus_index(spark):
     out = incremental_near_duplicates(new_batch, corpus, k=16, bands=4, threshold=0.5).collect()
     assert [(r["new_id"], r["corpus_id"]) for r in out] == [(100, 1)]
     assert out[0]["jaccard"] >= 0.5
+
+
+def test_duplicated_ngram_stats_cross_doc_only(spark):
+    from kgc.dedup import duplicated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 1 & 2 share the first five tokens (one 5-gram)
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon omega"),
+            # 3 repeats ITS OWN gram twice — within-doc repetition is
+            # NOT cross-document duplication
+            (3, "one two three four five one two three four five"),
+            (4, "short text"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in duplicated_ngram_stats(docs, n=5).collect()}
+    assert got[1]["n_toks"] == 6 and got[1]["n_grams"] == 2
+    assert got[1]["n_dup_grams"] == 1 and got[1]["covered_toks"] == 5
+    assert got[2]["n_dup_grams"] == 1 and got[2]["covered_toks"] == 5
+    assert got[3]["n_dup_grams"] == 0 and got[3]["covered_toks"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["covered_toks"] == 0
+
+
+def test_source_caps_deterministic_and_capped(spark):
+    from pyspark.sql import functions as F
+    from kgc.mix import source_caps
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    kept = source_caps(docs, cap=10)
+    rows = kept.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    assert set(per) == {"s0", "s1", "s2"}
+    assert all(len(v) == 10 for v in per.values())
+    assert all(1 <= rk <= 10 for v in per.values() for rk, _ in v)
+    # deterministic: second run picks the same ids
+    again = {(r["doc_id"], r["rk"]) for r in source_caps(docs, cap=10).collect()}
+    assert again == {(r["doc_id"], r["rk"]) for r in rows}
+
+
+def test_semantic_dedup_drops_copies_keeps_min_id(spark):
+    from kgc.simsearch import semantic_dedup, train_centroids
+
+    # 4 well-separated base vectors + exact copies of ids 0 and 1
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(base, "vec_id int, embedding array<float>")
+    cents = train_centroids(corpus, n_centroids=4, iters=2)
+    got = {r["vec_id"]: r["kept"] for r in semantic_dedup(corpus, cents).collect()}
+    assert got == {0: True, 1: True, 2: True, 3: True, 100: False, 101: False}
