@@ -25,14 +25,20 @@ from raw bytes:
   /Differences glyph-name overrides resolved via the Adobe Glyph List
   naming convention (TeX-style custom encodings).
 
+* standard-security-handler decryption (RC4 /V 1-2, /R 2-3) with an
+  empty user password — the owner-locked (print/copy-restricted)
+  documents web corpora actually contain.
+
 Anything outside the subset (image-codec filters on a content stream,
-encrypted files, fonts with neither ToUnicode nor a standard encoding)
-raises ``PdfUnsupportedError`` — at pipeline level a poison document
-routes to the quarantine table (C5) instead of killing the job.
+AES-encrypted files or non-empty user passwords, fonts with neither
+ToUnicode nor a standard encoding) raises ``PdfUnsupportedError`` — at
+pipeline level a poison document routes to the quarantine table (C5)
+instead of killing the job.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -336,6 +342,65 @@ def _rl_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------- standard encryption ---
+# PDF 32000-1:2008 §7.6.3 standard security handler, RC4 variants only
+# (/V 1-2, /R 2-3) with an EMPTY user password — the "owner-locked"
+# documents web corpora actually contain (copy/print restrictions, no
+# open password).  AES (/V ≥ 4) needs a cipher the stdlib doesn't have
+# and raises PdfUnsupportedError → quarantine.
+
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: same function encrypts/decrypts)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+    """Algorithm 2: the file encryption key from the (padded) user
+    password, /O, /P (as a SIGNED int packed little-endian unsigned),
+    and the first document ID string."""
+    h = hashlib.md5()
+    h.update((pw + _PW_PAD)[:32])
+    h.update((o or b"")[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0 or b"")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _check_user_pw(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithms 4/5: does the derived key reproduce /U? (= the tried
+    user password is correct)."""
+    if r == 2:
+        return _rc4(key, _PW_PAD) == (u or b"")[:32]
+    x = _rc4(key, hashlib.md5(_PW_PAD + (id0 or b"")).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == (u or b"")[:16]
+
+
 _OBJ_AT = re.compile(rb"[\r\n\t\x0c\x00 ]*(\d+)\s+\d+\s+obj\b")
 
 
@@ -343,6 +408,8 @@ class _Doc:
     def __init__(self, data: bytes):
         self.data = data
         self.objs: dict[int, tuple[object, bytes | None]] = {}
+        self.trailer: dict = {}
+        self._crypt_key: bytes | None = None
         self.scan_method = "xref"
         self._scan()
 
@@ -356,6 +423,7 @@ class _Doc:
         absent xref, which real-world corpora are full of)."""
         try:
             self._scan_xref()
+            self._setup_encryption()
             self._expand_objstm()
             if not any(
                 isinstance(v, dict) and v.get("Type") == "Catalog"
@@ -365,6 +433,8 @@ class _Doc:
             return
         except Exception:
             self.objs = {}
+            self.trailer = {}
+            self._crypt_key = None
             self.scan_method = "regex"
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+\d+\s+obj\b", self.data):
             num = int(m.group(1))
@@ -372,7 +442,76 @@ class _Doc:
                 self.objs[num] = self._parse_obj_body(m.end())
             except Exception:
                 continue
+        # trailer dicts (newest appended LAST in incrementally-updated
+        # files — walk in reverse so the newest /Encrypt and /ID win);
+        # xref-stream-only files carry them on the /Type/XRef dict
+        for tm in reversed(list(re.finditer(rb"trailer\b", self.data))):
+            try:
+                t = _Lexer(self.data, tm.end()).parse()
+            except Exception:
+                continue
+            if isinstance(t, dict):
+                for k in ("Encrypt", "ID", "Root"):
+                    if k in t:
+                        self.trailer.setdefault(k, t[k])
+        for val, _ in self.objs.values():
+            if isinstance(val, dict) and val.get("Type") == "XRef":
+                for k in ("Encrypt", "ID", "Root"):
+                    if k in val:
+                        self.trailer.setdefault(k, val[k])
+        self._setup_encryption()
         self._expand_objstm()
+
+    # ------------------------------------------------------- encryption ---
+    def _setup_encryption(self) -> None:
+        """Resolve the trailer's /Encrypt dict (standard handler, RC4,
+        empty user password) into a file key; streams are decrypted
+        per-object in ``stream_bytes``/``_expand_objstm``.  Strings in
+        object dictionaries stay encrypted — text extraction never
+        reads them (page text lives in content STREAMS).  Everything
+        outside the RC4 subset raises → quarantine (C5)."""
+        enc = self.trailer.get("Encrypt")
+        if enc is None:
+            return
+        e = self.resolve(enc)
+        if not isinstance(e, dict):
+            raise PdfUnsupportedError("malformed /Encrypt dictionary")
+        if self.resolve(e.get("Filter")) != "Standard":
+            raise PdfUnsupportedError(
+                f"encryption handler {self.resolve(e.get('Filter'))!r}"
+            )
+        v = int(self.resolve(e.get("V", 0)) or 0)
+        r = int(self.resolve(e.get("R", 2)))
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfUnsupportedError(
+                f"encryption V={v} R={r} (AES / crypt filters unsupported)"
+            )
+        n = 5 if r == 2 else max(5, int(self.resolve(e.get("Length", 40))) // 8)
+        o = self.resolve(e.get("O"))
+        u = self.resolve(e.get("U"))
+        p = int(self.resolve(e.get("P", -1)))
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        if not (isinstance(o, bytes) and isinstance(u, bytes)):
+            raise PdfUnsupportedError("malformed /O or /U entry")
+        key = _std_file_key(b"", o, p, id0, r, n)
+        if not _check_user_pw(key, u, id0, r):
+            raise PdfUnsupportedError(
+                "password-protected PDF (non-empty user password)"
+            )
+        self._crypt_key = key
+
+    def _decrypt(self, num: int, val: dict, stream: bytes) -> bytes:
+        """Per-object RC4 (Algorithm 1): key = MD5(file_key + objnum_le3
+        + gen_le2)[:file_key_len+5].  XRef streams are never encrypted;
+        generation numbers other than 0 don't survive a rewrite and are
+        treated as 0 (the regex scanner discards them anyway)."""
+        if self._crypt_key is None or val.get("Type") == "XRef":
+            return stream
+        okey = hashlib.md5(
+            self._crypt_key + num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[: min(len(self._crypt_key) + 5, 16)]
+        return _rc4(okey, stream)
 
     def _parse_obj_body(self, pos: int) -> tuple[object, bytes | None]:
         """Parse one object's value (and raw stream bytes if present)
@@ -431,6 +570,9 @@ class _Doc:
                 trailer = lex.parse()
                 if not isinstance(trailer, dict):
                     raise PdfUnsupportedError("malformed xref trailer")
+                for k in ("Encrypt", "ID", "Root"):
+                    if k in trailer:  # first seen = newest revision
+                        self.trailer.setdefault(k, trailer[k])
                 if isinstance(trailer.get("XRefStm"), int):
                     self._read_xref_stream(trailer["XRefStm"], offsets)
                 prev = trailer.get("Prev")
@@ -464,6 +606,9 @@ class _Doc:
         val, stream = self._parse_obj_body(hdr.end())
         if not (isinstance(val, dict) and val.get("Type") == "XRef" and stream):
             raise PdfUnsupportedError("startxref does not point at an XRef stream")
+        for k in ("Encrypt", "ID", "Root"):
+            if k in val:  # xref streams double as the trailer dict
+                self.trailer.setdefault(k, val[k])
         self.objs.setdefault(num, (val, stream))
         body = self._decode(val, stream)
         w = [int(x) for x in val["W"]]
@@ -492,7 +637,7 @@ class _Doc:
         for num in list(self.objs):
             val, stream = self.objs[num]
             if isinstance(val, dict) and val.get("Type") == "ObjStm" and stream:
-                body = self._decode(val, stream)
+                body = self._decode(val, self._decrypt(num, val, stream))
                 first = self.resolve(val.get("First", 0))
                 count = self.resolve(val.get("N", 0))
                 header = _Lexer(body[:first])
@@ -569,7 +714,7 @@ class _Doc:
                     n = self.resolve(length)
                     if isinstance(n, int):
                         stream = stream[:n]
-                return self._decode(val, stream)
+                return self._decode(val, self._decrypt(num, val, stream))
             v = val
         raise PdfUnsupportedError("not a stream")
 
@@ -885,7 +1030,5 @@ def extract_pages(data: bytes) -> list[str]:
     """PDF bytes → one plain-text string per page (pdf.go:38-52 shape)."""
     if not data.startswith(b"%PDF"):
         raise PdfUnsupportedError("not a PDF")
-    if b"/Encrypt" in data[-2048:]:
-        raise PdfUnsupportedError("encrypted PDF")
     doc = _Doc(data)
     return [_page_text(doc, p) for p in doc.pages()]

@@ -283,8 +283,11 @@ class TestPdfRobustness:
             # filter outside the supported subset
             "unsupported_filter": classic.replace(
                 b"<< /Length", b"<< /Filter /DCTDecode /Length"),
-            # encrypted documents are out of scope by design
-            "encrypted": classic.replace(
+            # non-empty USER password: undecryptable without secrets
+            # (empty-password RC4 docs now decrypt — TestPdfEncryption)
+            "encrypted": _encrypted_pdf(r=3, user_pw=b"secret"),
+            # /Encrypt pointing at a missing object
+            "bad_encrypt": classic.replace(
                 b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"),
             # structurally valid objects but no document root
             "no_catalog": classic.replace(b"/Type /Catalog", b"/Type /Notalog"),
@@ -325,7 +328,7 @@ class TestPdfRobustness:
                 pass
 
     def test_poison_routes_to_quarantine_job_continues(self, spark):
-        """Five malformed-PDF classes -> quarantine rows with the real
+        """Six malformed-PDF classes -> quarantine rows with the real
         reason in detail; the healthy PDF and text doc keep flowing."""
         from kgc.parsers import parse_documents
         from kgc.pipeline import quarantine_table
@@ -352,7 +355,8 @@ class TestPdfRobustness:
         # specific reasons survive end-to-end
         assert "not a PDF" in quar["poison_not_a_pdf"]["detail"]
         assert "filter DCTDecode" in quar["poison_unsupported_filter"]["detail"]
-        assert "encrypted" in quar["poison_encrypted"]["detail"]
+        assert "password-protected" in quar["poison_encrypted"]["detail"]
+        assert "/Encrypt" in quar["poison_bad_encrypt"]["detail"]
         # healthy rows keep flowing
         healthy = {r["doc_id"]: r["spans"] for r in docs.collect()}
         assert len(healthy["good_pdf"]) == 26
@@ -528,3 +532,145 @@ class TestPdfFilters:
         assert _glyph_to_char("u1F600") == "\U0001f600"
         assert _glyph_to_char("emdash") == "—"
         assert _glyph_to_char("notarealglyph") is None
+
+
+# ------------------------------------------------- encrypted-PDF tests ---
+# Independent mini-encryptor (own RC4 + own Algorithm 2/3/4/5 code, not
+# kgc.pdf's) so decryption is checked against a second implementation
+# of PDF 32000 §7.6, not against itself.
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _enc_rc4(key: bytes, data: bytes) -> bytes:
+    s = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _encrypted_pdf(
+    content: bytes = b"BT /F1 12 Tf 72 720 Td (Hello encrypted) Tj ET",
+    r: int = 3,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner-secret",
+) -> bytes:
+    """Classic-xref PDF with RC4 standard security (R2=40-bit, R3=128-bit)."""
+    import hashlib
+
+    n = 5 if r == 2 else 16
+    perms = -44  # print+copy restricted (typical owner-locked doc)
+    doc_id = hashlib.md5(b"kgc-test-id").digest()
+
+    # Algorithm 3: /O from the owner password
+    okey = hashlib.md5((owner_pw + _ENC_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:n]
+    o_entry = _enc_rc4(okey, (user_pw + _ENC_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o_entry = _enc_rc4(bytes(b ^ i for b in okey), o_entry)
+
+    # Algorithm 2: file key from the user password
+    h = hashlib.md5()
+    h.update((user_pw + _ENC_PAD)[:32])
+    h.update(o_entry)
+    h.update((perms & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(doc_id)
+    fkey = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            fkey = hashlib.md5(fkey[:n]).digest()
+    fkey = fkey[:n]
+
+    # Algorithm 4/5: /U
+    if r == 2:
+        u_entry = _enc_rc4(fkey, _ENC_PAD)
+    else:
+        u_entry = _enc_rc4(fkey, hashlib.md5(_ENC_PAD + doc_id).digest())
+        for i in range(1, 20):
+            u_entry = _enc_rc4(bytes(b ^ i for b in fkey), u_entry)
+        u_entry += b"\x00" * 16  # arbitrary 16-byte pad per spec
+
+    def obj_key(num: int) -> bytes:
+        d = hashlib.md5(fkey + num.to_bytes(3, "little") + b"\x00\x00").digest()
+        return d[: min(n + 5, 16)]
+
+    enc_content = _enc_rc4(obj_key(4), content)
+    hx = lambda b: b"<" + b.hex().encode() + b">"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (b"<< /Length %d >>\nstream\n" % len(enc_content))
+           + enc_content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s >>"
+            % (1 if r == 2 else 2, r, n * 8, perms, hx(o_entry), hx(u_entry))),
+    }
+    out = b"%PDF-1.4\n"
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID [%s %s] >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (hx(doc_id), hx(doc_id), xref_off))
+    return out
+
+
+class TestPdfEncryption:
+    def test_rc4_r3_128bit_roundtrip(self):
+        from kgc.pdf import _Doc, extract_pages
+
+        pdf = _encrypted_pdf(r=3)
+        assert _Doc(pdf).scan_method == "xref"
+        assert extract_pages(pdf) == ["Hello encrypted"]
+
+    def test_rc4_r2_40bit_roundtrip(self):
+        from kgc.pdf import extract_pages
+
+        assert extract_pages(_encrypted_pdf(r=2)) == ["Hello encrypted"]
+
+    def test_regex_fallback_still_decrypts(self):
+        import re as _re
+        from kgc.pdf import _Doc, extract_pages
+
+        broken = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999",
+                         _encrypted_pdf(r=3))
+        assert _Doc(broken).scan_method == "regex"
+        assert extract_pages(broken) == ["Hello encrypted"]
+
+    def test_nonempty_user_password_quarantined(self):
+        import pytest
+        from kgc.pdf import PdfUnsupportedError, extract_pages
+
+        with pytest.raises(PdfUnsupportedError, match="password-protected"):
+            extract_pages(_encrypted_pdf(r=3, user_pw=b"secret"))
+
+    def test_aes_v4_quarantined(self):
+        import pytest
+        from kgc.pdf import PdfUnsupportedError, extract_pages
+
+        pdf = _encrypted_pdf(r=3).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+        with pytest.raises(PdfUnsupportedError, match="unsupported"):
+            extract_pages(pdf)
