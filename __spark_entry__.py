@@ -282,8 +282,10 @@ def q_main_type(spark, sf_dir):
     return classify_main_type(d, linked).select("doc_id", "main_type")
 
 
-def q_entity_triples(spark, sf_dir):
-    linked = q_link_topk(spark, sf_dir)
+def _triples_from_linked(linked: DataFrame) -> DataFrame:
+    """E3-shape triple unfold shared by the batch and streaming paths:
+    doc→entity edges under the reference's predicate taxonomy, plus
+    @type and name literals per entity."""
     pred = (
         F.when(F.col("entity_type") == "Person", F.lit("mentions"))
         .when(F.col("entity_type") == "Place", F.lit("locations"))
@@ -305,6 +307,33 @@ def q_entity_triples(spark, sf_dir):
         F.col("alias").alias("obj"), F.lit("literal").alias("obj_type"),
     )
     return edges.unionByName(typing).unionByName(naming).dropDuplicates()
+
+
+def q_entity_triples(spark, sf_dir):
+    return _triples_from_linked(q_link_topk(spark, sf_dir))
+
+
+def q_streaming_triples(spark, sf_dir):
+    """Streaming KG construction: documents stream in, the stateless
+    n-gram mention scan + broadcast alias join run per micro-batch, and
+    the top-1 link becomes a min_by streaming aggregation
+    (kgc.streaming.stream_entity_link); the drained link table unfolds
+    into the same (subj, pred, obj, obj_type) triples as the batch
+    path and is checked against the SAME DuckDB oracle as
+    entity_triples — the stream must construct the batch KG
+    bit-exactly."""
+    from kgc.streaming import DOCS_SCHEMA, run_available_now, stream_entity_link
+
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(
+        _stage_stream_dir(sf_dir, "documents")
+    )
+    linked = stream_entity_link(
+        src.select("doc_id", F.col("text").alias("seg_text")), _alias_df(spark)
+    )
+    drained = run_available_now(
+        linked, "kgc_streaming_triples", output_mode="complete"
+    )
+    return _triples_from_linked(drained)
 
 
 def q_connected_components(spark, sf_dir):
@@ -1878,7 +1907,7 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """54 entries, 49 oracle-eligible — the oracle-eligible set fits
+    """55 entries, 50 oracle-eligible — the oracle-eligible set fits
     inside the driver's measured 50-entry CORRECTNESS cap (r1: 39/39
     covered; r2: exactly the first 50 of 67) because the 5 rows-only
     queries ride LAST; every oracle-checked query gets a
@@ -1900,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_segments": q_streaming_segments,
         "streaming_rollup": q_streaming_rollup,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_triples": q_streaming_triples,
         # -- core KG construction --
         "segments": q_segments,
         "mentions": q_mentions,
@@ -2535,6 +2565,10 @@ SELECT DISTINCT * FROM (
   UNION ALL
   SELECT 'ent:' || entity_id, 'name', alias, 'literal' FROM top)"""
     )
+    # the stream must construct the batch KG bit-exactly: the finite
+    # availableNow drain of stream_entity_link + the shared triple
+    # unfold answers to the SAME oracle
+    q["streaming_triples"] = q["entity_triples"]
 
     # PageRank over the entity co-mention graph: BIGINT fixed-point
     # (scale 1e12), damping 85/100 as integer rationals, // division —

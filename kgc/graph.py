@@ -247,9 +247,11 @@ def entity_cocitation(
     With the cap, per-key fan-out is bounded by df_cap² and the
     self-join shuffles on the entity key only.
     """
-    de = doc_entities.select(
-        F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e")
-    ).distinct()
+    de = (
+        doc_entities.select(F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e"))
+        .distinct()
+        .persist()  # consumed 3× (df count, hub filter, both join sides)
+    )
     allowed = (
         de.groupBy("_e")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -258,9 +260,11 @@ def entity_cocitation(
     )
     bounded = de.join(allowed, "_e")
     x, y = bounded.alias("x"), bounded.alias("y")
-    return (
+    out = (
         x.join(y, F.col("x._e") == F.col("y._e"))
         .filter(F.col("x._d") < F.col("y._d"))
         .groupBy(F.col("x._d").alias("doc_a"), F.col("y._d").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+    out._kgc_pinned = [de]  # released by kgc.pipeline.release
+    return out

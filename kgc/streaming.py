@@ -293,3 +293,42 @@ def run_available_now(
     q.stop()
     q.awaitTermination(30)
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_entity_link(
+    docs: DataFrame,
+    alias_df: DataFrame,
+    text_col: str = "seg_text",
+) -> DataFrame:
+    """Streaming twin of the batch mention→link path
+    (kgc.mentions.detect_mentions_ngram + kgc.link.link_exact): the
+    n-gram scan and the broadcast dictionary join are stateless and run
+    unchanged, and the top-1-per-mention WINDOW (unsupported in
+    streaming) becomes the equivalent min_by aggregation over
+    struct(-score, entity_id) — highest score wins, ties break on the
+    smallest entity_id, exactly the batch window's (score DESC,
+    entity_id ASC) order.  One streaming aggregation → drain with
+    output_mode='complete'.
+
+    This is the incremental-ingest shape of the north star: new
+    documents stream in, mentions are linked against the broadcast
+    alias dictionary micro-batch by micro-batch, and the KG grows with
+    exactly-once sink semantics; on a finite availableNow drain the
+    result must equal the batch link table bit-exactly (the driver
+    checks it against the SAME DuckDB oracle as entity_triples).
+    """
+    from kgc.mentions import detect_mentions_ngram
+
+    m = detect_mentions_ngram(docs, alias_df, text_col=text_col,
+                              id_cols=("doc_id",), max_n=2)
+    scored = m.withColumn(
+        "score",
+        F.col("weight") * (F.lit(1.0) + F.lit(0.1) * (F.col("n_toks") - 1)),
+    )
+    pick = scored.groupBy("doc_id", "tok_begin", "n_toks").agg(
+        F.min_by(
+            F.struct("alias", "entity_id", "entity_type", "score"),
+            F.struct((-F.col("score")).alias("neg"), F.col("entity_id")),
+        ).alias("top")
+    )
+    return pick.select("doc_id", "tok_begin", "n_toks", "top.*")

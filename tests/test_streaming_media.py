@@ -245,3 +245,15 @@ def test_stream_dedup_within_watermark_requires_event_time():
 
     with pytest.raises(ValueError):
         stream_exact_dedup(None, ["k"], watermark="10 minutes")
+
+
+def test_streaming_triples_equal_batch(spark, sf_dir):
+    """The streaming link path (min_by argmax in place of the batch
+    window top-1) must construct the batch KG bit-exactly on a finite
+    availableNow drain."""
+    import __spark_entry__ as E
+
+    got = E.q_streaming_triples(spark, sf_dir)
+    want = E.q_entity_triples(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
