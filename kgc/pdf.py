@@ -374,15 +374,19 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+def _std_file_key(pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int,
+                  encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key from the (padded) user
     password, /O, /P (as a SIGNED int packed little-endian unsigned),
-    and the first document ID string."""
+    and the first document ID string (R4 with /EncryptMetadata false
+    additionally hashes ffffffff)."""
     h = hashlib.md5()
     h.update((pw + _PW_PAD)[:32])
     h.update((o or b"")[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0 or b"")
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -401,6 +405,168 @@ def _check_user_pw(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     return x == (u or b"")[:16]
 
 
+# --------------------------------------------------------- AES (decrypt) ---
+# Pure-stdlib AES inverse cipher + CBC for /AESV2 (AES-128) and /AESV3
+# (AES-256) crypt filters — no cipher library ships in this container.
+# Core validated against the FIPS-197 appendix C known-answer vectors
+# (tests/test_parsers.py::TestPdfEncryption::test_aes_core_fips197).
+# Throughput is irrelevant here: PDF text streams are KBs and decryption
+# runs inside the per-document parse UDF, not on the hot columnar path.
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytes(256)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+_AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
+             0x6C, 0xD8, 0xAB, 0x4D)
+
+
+def _xt(a: int) -> int:  # GF(2^8) multiply by x
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        a = _xt(a)
+        b >>= 1
+    return p
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = words[i - 1]
+        if i % nk == 0:
+            t = bytes(
+                _AES_SBOX[t[(j + 1) % 4]] ^ (_AES_RCON[i // nk - 1] if j == 0 else 0)
+                for j in range(4)
+            )
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+def _aes_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    s = bytes(a ^ b for a, b in zip(block, rks[-1]))
+    for rnd in range(len(rks) - 2, -1, -1):
+        # InvShiftRows ∘ InvSubBytes (column-major 4x4 state)
+        s = bytes(
+            _AES_INV_SBOX[s[(c * 4 + r - 4 * r) % 16]]
+            for c in range(4)
+            for r in range(4)
+        )
+        s = bytes(a ^ b for a, b in zip(s, rks[rnd]))
+        if rnd > 0:  # InvMixColumns (skipped on the final/first round key)
+            out = bytearray(16)
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                out[4 * c + 0] = (_gmul(col[0], 14) ^ _gmul(col[1], 11)
+                                  ^ _gmul(col[2], 13) ^ _gmul(col[3], 9))
+                out[4 * c + 1] = (_gmul(col[0], 9) ^ _gmul(col[1], 14)
+                                  ^ _gmul(col[2], 11) ^ _gmul(col[3], 13))
+                out[4 * c + 2] = (_gmul(col[0], 13) ^ _gmul(col[1], 9)
+                                  ^ _gmul(col[2], 14) ^ _gmul(col[3], 11))
+                out[4 * c + 3] = (_gmul(col[0], 11) ^ _gmul(col[1], 13)
+                                  ^ _gmul(col[2], 9) ^ _gmul(col[3], 14))
+            s = bytes(out)
+    return s
+
+
+def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    """Forward cipher — needed only for the R6 key-derivation hash
+    (Algorithm 2.B encrypts inside the KDF loop) and for tests."""
+    s = bytes(a ^ b for a, b in zip(block, rks[0]))
+    nr = len(rks) - 1
+    for rnd in range(1, nr + 1):
+        # SubBytes ∘ ShiftRows
+        s = bytes(
+            _AES_SBOX[s[(c * 4 + r + 4 * r) % 16]]
+            for c in range(4)
+            for r in range(4)
+        )
+        if rnd < nr:  # MixColumns
+            out = bytearray(16)
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                out[4 * c + 0] = _xt(col[0]) ^ _xt(col[1]) ^ col[1] ^ col[2] ^ col[3]
+                out[4 * c + 1] = col[0] ^ _xt(col[1]) ^ _xt(col[2]) ^ col[2] ^ col[3]
+                out[4 * c + 2] = col[0] ^ col[1] ^ _xt(col[2]) ^ _xt(col[3]) ^ col[3]
+                out[4 * c + 3] = _xt(col[0]) ^ col[0] ^ col[1] ^ col[2] ^ _xt(col[3])
+            s = bytes(out)
+        s = bytes(a ^ b for a, b in zip(s, rks[rnd]))
+    return s
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes, iv: bytes | None = None,
+                     unpad: bool = True) -> bytes:
+    """AES-CBC: PDF streams carry the IV as the first 16 bytes unless an
+    explicit ``iv`` is given; PKCS#7 padding stripped unless unpad=False
+    (the R6 /UE unwrap uses IV=0, no padding)."""
+    if iv is None:
+        iv, data = data[:16], data[16:]
+    if len(data) % 16:
+        raise PdfUnsupportedError("AES stream not block-aligned")
+    rks = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rks, blk), prev))
+        prev = blk
+    if unpad and out:
+        n = out[-1]
+        if 1 <= n <= 16:
+            out = out[:-n]
+    return bytes(out)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Block-aligned CBC encrypt (no padding) — Algorithm 2.B internal."""
+    rks = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def _r6_hash(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 iterated KDF): SHA-256 seed,
+    then ≥64 rounds of AES-128-CBC over 64 repetitions of (pw‖K‖udata)
+    with the digest algorithm (SHA-256/384/512) chosen by the first 16
+    encrypted bytes mod 3; stop once round ≥ 64 and E[-1] ≤ round−32."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
 _OBJ_AT = re.compile(rb"[\r\n\t\x0c\x00 ]*(\d+)\s+\d+\s+obj\b")
 
 
@@ -410,6 +576,7 @@ class _Doc:
         self.objs: dict[int, tuple[object, bytes | None]] = {}
         self.trailer: dict = {}
         self._crypt_key: bytes | None = None
+        self._crypt_mode = "rc4"
         self.scan_method = "xref"
         self._scan()
 
@@ -435,6 +602,7 @@ class _Doc:
             self.objs = {}
             self.trailer = {}
             self._crypt_key = None
+            self._crypt_mode = "rc4"
             self.scan_method = "regex"
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+\d+\s+obj\b", self.data):
             num = int(m.group(1))
@@ -464,12 +632,14 @@ class _Doc:
 
     # ------------------------------------------------------- encryption ---
     def _setup_encryption(self) -> None:
-        """Resolve the trailer's /Encrypt dict (standard handler, RC4,
-        empty user password) into a file key; streams are decrypted
-        per-object in ``stream_bytes``/``_expand_objstm``.  Strings in
-        object dictionaries stay encrypted — text extraction never
-        reads them (page text lives in content STREAMS).  Everything
-        outside the RC4 subset raises → quarantine (C5)."""
+        """Resolve the trailer's /Encrypt dict (standard handler: RC4
+        /V 1-2, crypt filters /V 4 with /V2 or /AESV2, AES-256 /V 5
+        R5/R6 — always with an EMPTY user password) into a file key;
+        streams are decrypted per-object in
+        ``stream_bytes``/``_expand_objstm``.  Strings in object
+        dictionaries stay encrypted — text extraction never reads them
+        (page text lives in content STREAMS).  Non-empty user
+        passwords and non-Standard handlers raise → quarantine (C5)."""
         enc = self.trailer.get("Encrypt")
         if enc is None:
             return
@@ -482,35 +652,86 @@ class _Doc:
             )
         v = int(self.resolve(e.get("V", 0)) or 0)
         r = int(self.resolve(e.get("R", 2)))
-        if v not in (1, 2) or r not in (2, 3):
-            raise PdfUnsupportedError(
-                f"encryption V={v} R={r} (AES / crypt filters unsupported)"
-            )
-        n = 5 if r == 2 else max(5, int(self.resolve(e.get("Length", 40))) // 8)
         o = self.resolve(e.get("O"))
         u = self.resolve(e.get("U"))
+        if not (isinstance(o, bytes) and isinstance(u, bytes)):
+            raise PdfUnsupportedError("malformed /O or /U entry")
+        if v == 5 and r in (5, 6):
+            self._setup_v5(e, u, r)
+            return
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise PdfUnsupportedError(f"encryption V={v} R={r} unsupported")
+        self._crypt_mode = "rc4"
+        n = 5 if r == 2 else max(5, int(self.resolve(e.get("Length", 40))) // 8)
+        if v == 4:
+            # crypt filters: the default stream filter (/StmF) names an
+            # entry of /CF whose /CFM picks the cipher
+            cf = self.resolve(e.get("CF")) or {}
+            stmf = self.resolve(e.get("StmF", "Identity"))
+            if stmf == "Identity":
+                return  # streams pass through unencrypted
+            cfd = self.resolve(cf.get(stmf))
+            if not isinstance(cfd, dict):
+                raise PdfUnsupportedError(f"crypt filter {stmf!r} undefined")
+            cfm = self.resolve(cfd.get("CFM"))
+            cfl = self.resolve(cfd.get("Length"))
+            if isinstance(cfl, int):  # bytes per spec; some writers use bits
+                n = cfl // 8 if cfl >= 40 else cfl
+            if cfm == "AESV2":
+                self._crypt_mode, n = "aes128", 16
+            elif cfm != "V2":
+                raise PdfUnsupportedError(f"crypt filter method {cfm!r}")
         p = int(self.resolve(e.get("P", -1)))
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids else b""
-        if not (isinstance(o, bytes) and isinstance(u, bytes)):
-            raise PdfUnsupportedError("malformed /O or /U entry")
-        key = _std_file_key(b"", o, p, id0, r, n)
-        if not _check_user_pw(key, u, id0, r):
+        meta = self.resolve(e.get("EncryptMetadata", True))
+        key = _std_file_key(b"", o, p, id0, r, n, encrypt_metadata=bool(meta))
+        if not _check_user_pw(key, u, id0, min(r, 3)):
             raise PdfUnsupportedError(
                 "password-protected PDF (non-empty user password)"
             )
         self._crypt_key = key
 
+    def _setup_v5(self, e: dict, u: bytes, r: int) -> None:
+        """AES-256 (/V 5): R6 per ISO 32000-2 §7.6.4 (Algorithm 2.A/2.B
+        iterated KDF), R5 per the deprecated Adobe extension (plain
+        SHA-256).  Empty user password only: validate against the /U
+        hash+validation-salt, then unwrap the file key from /UE with
+        AES-256-CBC (IV=0, no padding)."""
+        ue = self.resolve(e.get("UE"))
+        if not (isinstance(ue, bytes) and len(u) >= 48 and len(ue) >= 32):
+            raise PdfUnsupportedError("malformed /U or /UE entry")
+        uhash, vsalt, ksalt = u[:32], u[32:40], u[40:48]
+        if r == 6:
+            ok = _r6_hash(b"", vsalt) == uhash
+            ikey = _r6_hash(b"", ksalt)
+        else:  # R5
+            ok = hashlib.sha256(b"" + vsalt).digest() == uhash
+            ikey = hashlib.sha256(b"" + ksalt).digest()
+        if not ok:
+            raise PdfUnsupportedError(
+                "password-protected PDF (non-empty user password)"
+            )
+        self._crypt_key = _aes_cbc_decrypt(ikey, ue[:32], iv=b"\x00" * 16,
+                                           unpad=False)
+        self._crypt_mode = "aes256"
+
     def _decrypt(self, num: int, val: dict, stream: bytes) -> bytes:
-        """Per-object RC4 (Algorithm 1): key = MD5(file_key + objnum_le3
-        + gen_le2)[:file_key_len+5].  XRef streams are never encrypted;
-        generation numbers other than 0 don't survive a rewrite and are
-        treated as 0 (the regex scanner discards them anyway)."""
+        """Per-object decryption (Algorithm 1/1.A): RC4 and AES-128 key
+        = MD5(file_key + objnum_le3 + gen_le2 [+ sAlT for AES])
+        [:file_key_len+5]; AES-256 uses the file key directly.  XRef
+        streams are never encrypted; generation numbers other than 0
+        don't survive a rewrite and are treated as 0 (the regex scanner
+        discards them anyway)."""
         if self._crypt_key is None or val.get("Type") == "XRef":
             return stream
-        okey = hashlib.md5(
-            self._crypt_key + num.to_bytes(3, "little") + b"\x00\x00"
-        ).digest()[: min(len(self._crypt_key) + 5, 16)]
+        if self._crypt_mode == "aes256":
+            return _aes_cbc_decrypt(self._crypt_key, stream)
+        ident = self._crypt_key + num.to_bytes(3, "little") + b"\x00\x00"
+        if self._crypt_mode == "aes128":
+            okey = hashlib.md5(ident + b"sAlT").digest()
+            return _aes_cbc_decrypt(okey, stream)
+        okey = hashlib.md5(ident).digest()[: min(len(self._crypt_key) + 5, 16)]
         return _rc4(okey, stream)
 
     def _parse_obj_body(self, pos: int) -> tuple[object, bytes | None]:

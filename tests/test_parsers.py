@@ -667,10 +667,167 @@ class TestPdfEncryption:
         with pytest.raises(PdfUnsupportedError, match="password-protected"):
             extract_pages(_encrypted_pdf(r=3, user_pw=b"secret"))
 
-    def test_aes_v4_quarantined(self):
+    def test_unknown_encryption_version_quarantined(self):
+        # V4 (crypt filters / AES-128) and V5 (AES-256) are now
+        # supported — TestPdfAes; the undocumented interim V3 is not
         import pytest
         from kgc.pdf import PdfUnsupportedError, extract_pages
 
-        pdf = _encrypted_pdf(r=3).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+        pdf = _encrypted_pdf(r=3).replace(b"/V 2 /R 3", b"/V 3 /R 3")
         with pytest.raises(PdfUnsupportedError, match="unsupported"):
             extract_pages(pdf)
+
+
+def _r6_hash_indep(pw: bytes, salt: bytes) -> bytes:
+    """Independent Algorithm 2.B (own CBC loop + digest switch; block
+    cipher is kgc's FIPS-197-validated core)."""
+    import hashlib
+    from kgc.pdf import _aes_expand_key, _aes_encrypt_block
+
+    def cbc(key, iv, data):
+        rks, prev, out = _aes_expand_key(key), iv, bytearray()
+        for i in range(0, len(data), 16):
+            prev = _aes_encrypt_block(
+                rks, bytes(a ^ b for a, b in zip(data[i:i + 16], prev)))
+            out += prev
+        return bytes(out)
+
+    k = hashlib.sha256(pw + salt).digest()
+    rnd = 0
+    while True:
+        e = cbc(k[:16], k[16:32], (pw + k) * 64)
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _aes_pdf(content: bytes = b"BT /F1 12 Tf 72 720 Td (Hello AES) Tj ET",
+             v: int = 4, user_pw: bytes = b"") -> bytes:
+    """V4/AESV2 (AES-128, MD5-derived file key) or V5/R6 (AES-256,
+    Algorithm 2.B) encrypted classic-xref PDF."""
+    import hashlib
+    from kgc.pdf import _aes_expand_key, _aes_encrypt_block
+
+    def cbc_pad(key, data):
+        iv = hashlib.md5(b"kgc-test-iv" + key).digest()
+        pad = 16 - len(data) % 16
+        data += bytes([pad]) * pad
+        rks, prev, out = _aes_expand_key(key), iv, bytearray(iv)
+        for i in range(0, len(data), 16):
+            prev = _aes_encrypt_block(
+                rks, bytes(a ^ b for a, b in zip(data[i:i + 16], prev)))
+            out += prev
+        return bytes(out)
+
+    perms = -44
+    doc_id = hashlib.md5(b"kgc-aes-id").digest()
+    hx = lambda b: b"<" + b.hex().encode() + b">"
+    if v == 4:
+        n = 16
+        okey = hashlib.md5((b"owner-secret" + _ENC_PAD)[:32]).digest()
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+        o_entry = _enc_rc4(okey[:n], (user_pw + _ENC_PAD)[:32])
+        for i in range(1, 20):
+            o_entry = _enc_rc4(bytes(b ^ i for b in okey[:n]), o_entry)
+        h = hashlib.md5()
+        h.update((user_pw + _ENC_PAD)[:32])
+        h.update(o_entry)
+        h.update((perms & 0xFFFFFFFF).to_bytes(4, "little"))
+        h.update(doc_id)
+        fkey = h.digest()
+        for _ in range(50):
+            fkey = hashlib.md5(fkey[:n]).digest()
+        fkey = fkey[:n]
+        u_entry = _enc_rc4(fkey, hashlib.md5(_ENC_PAD + doc_id).digest())
+        for i in range(1, 20):
+            u_entry = _enc_rc4(bytes(b ^ i for b in fkey), u_entry)
+        u_entry += b"\x00" * 16
+        okey4 = hashlib.md5(
+            fkey + (4).to_bytes(3, "little") + b"\x00\x00" + b"sAlT").digest()
+        enc_content = cbc_pad(okey4, content)
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d /O %s /U %s "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF >>"
+            % (perms, hx(o_entry), hx(u_entry)))
+    else:  # V5 / R6
+        fkey = hashlib.sha256(b"kgc-aes256-file-key").digest()
+        vsalt, ksalt = b"VSALTvs1", b"KSALTks1"
+        u_entry = _r6_hash_indep(user_pw, vsalt) + vsalt + ksalt
+        ikey = _r6_hash_indep(user_pw, ksalt)
+        # UE = CBC-encrypt(ikey, iv=0, fkey), no padding
+        rks, prev, ue = _aes_expand_key(ikey), b"\x00" * 16, bytearray()
+        for i in range(0, 32, 16):
+            prev = _aes_encrypt_block(
+                rks, bytes(a ^ b for a, b in zip(fkey[i:i + 16], prev)))
+            ue += prev
+        enc_content = cbc_pad(fkey, content)
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+            b"/O %s /OE %s /U %s /UE %s "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF >>"
+            % (perms, hx(b"\x01" * 48), hx(b"\x02" * 32),
+               hx(u_entry), hx(bytes(ue))))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (b"<< /Length %d >>\nstream\n" % len(enc_content))
+           + enc_content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: enc_dict,
+    }
+    out = b"%PDF-1.6\n"
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID [%s %s] >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (hx(doc_id), hx(doc_id), xref_off))
+    return out
+
+
+class TestPdfAes:
+    def test_aes_core_fips197(self):
+        """FIPS-197 appendix C known-answer vectors, both directions."""
+        from kgc.pdf import _aes_decrypt_block, _aes_encrypt_block, _aes_expand_key
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        for key, ct_hex in [
+            (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+            (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+        ]:
+            rks = _aes_expand_key(key)
+            assert _aes_encrypt_block(rks, pt).hex() == ct_hex
+            assert _aes_decrypt_block(rks, bytes.fromhex(ct_hex)) == pt
+
+    def test_aesv2_roundtrip(self):
+        from kgc.pdf import extract_pages
+
+        assert extract_pages(_aes_pdf(v=4)) == ["Hello AES"]
+
+    def test_aes256_r6_roundtrip(self):
+        from kgc.pdf import extract_pages
+
+        assert extract_pages(_aes_pdf(v=5)) == ["Hello AES"]
+
+    def test_aes256_r6_wrong_password(self):
+        import pytest
+        from kgc.pdf import PdfUnsupportedError, extract_pages
+
+        with pytest.raises(PdfUnsupportedError, match="password-protected"):
+            extract_pages(_aes_pdf(v=5, user_pw=b"secret"))
+
+    def test_aesv2_wrong_password(self):
+        import pytest
+        from kgc.pdf import PdfUnsupportedError, extract_pages
+
+        with pytest.raises(PdfUnsupportedError, match="password-protected"):
+            extract_pages(_aes_pdf(v=4, user_pw=b"secret"))
