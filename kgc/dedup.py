@@ -758,36 +758,48 @@ def duplicated_ngram_stats(
         .otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
         .alias("grams"),
     )
-    grams = base.select(
-        "doc_id", F.explode("grams").alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate would bolt a
+    # size(...)>0 && isnotnull(...) filter under a plain explode with
+    # the ENTIRE gram-build expression (tokenizer included) re-inlined
+    # into both conjuncts — 3× interpreted evaluation per row (18.4 s →
+    # 2.4 s at sf0.1; same hazard class as kgc/segment.py)
+    grams = (
+        base.select("doc_id", F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .persist()  # consumed twice: the frequency agg and the dup join
+    )
     dup = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
         .select("gh")
     )
-    dup_grams = grams.join(dup, "gh")
-    per_dup = dup_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams")
-    )
-    covered = (
-        dup_grams.select(
-            "doc_id",
+    # one combined aggregation over the duplicated subset: each dup gram
+    # row is unique per (doc_id, pos), so after exploding its covered
+    # token range, n_dup_grams = distinct pos and covered = distinct idx
+    stats = (
+        grams.join(dup, "gh")
+        .select(
+            "doc_id", "pos",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
         )
         .groupBy("doc_id")
-        .agg(F.count_distinct("idx").cast("bigint").alias("covered_toks"))
-    )
-    totals = base.select(
-        "doc_id", "n_toks", F.size("grams").cast("bigint").alias("n_grams")
-    )
-    return (
-        totals.join(per_dup, "doc_id", "left")
-        .join(covered, "doc_id", "left")
-        .select(
-            "doc_id", "n_toks", "n_grams",
-            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
-            F.coalesce("covered_toks", F.lit(0)).cast("bigint").alias("covered_toks"),
+        .agg(
+            F.count_distinct("pos").cast("bigint").alias("n_dup_grams"),
+            F.count_distinct("idx").cast("bigint").alias("covered_toks"),
         )
     )
+    # n_grams is analytic (max(n_toks - n + 1, 0)) — no extra pass
+    totals = base.select(
+        "doc_id", "n_toks",
+        F.greatest(F.col("n_toks") - (n - 1), F.lit(0))
+        .cast("bigint").alias("n_grams"),
+    )
+    out = totals.join(stats, "doc_id", "left").select(
+        "doc_id", "n_toks", "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("covered_toks", F.lit(0)).cast("bigint").alias("covered_toks"),
+    )
+    out._kgc_pinned = [grams]  # released by kgc.pipeline.release
+    return out
