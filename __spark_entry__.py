@@ -1003,12 +1003,36 @@ def q_entity_cocitation(spark, sf_dir):
     )
 
 
+def q_validate_triples(spark, sf_dir):
+    """RDFS-style domain validation of the constructed KG
+    (kgc.triples.validate_triples): subjects are typed from the @type
+    triples (entities) plus the main-type classifier (documents), and
+    every (subj, pred) is checked against the full schema.org
+    domainIncludes through the reflexive subClassOf* closure.  The
+    verdict mix is non-vacuous by construction: 'name' (domain Thing)
+    validates for every typed entity, emission-vocabulary extras
+    ('locations', 'events') are unknown_pred, and docs whose main type
+    falls outside CreativeWork make 'mentions'/'about' invalid."""
+    from kgc.triples import validate_triples
+    from kgc.vocab import load_schemaorg
+
+    trip = q_entity_triples(spark, sf_dir)
+    doc_typing = q_main_type(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("@type").alias("pred"),
+        F.col("main_type").alias("obj"),
+        F.lit("literal").alias("obj_type"),
+    )
+    types, props = load_schemaorg(spark)
+    return validate_triples(trip.unionByName(doc_typing), types, props)
+
+
 def q_graph_suite(spark, sf_dir):
     """KG-graph operator family: subClassOf* closure (path-doubling
     transitive closure over the ~1,400-edge schema.org class DAG,
     depths 1..7) + entity co-citation (the 2-hop doc—entity—doc
-    pattern).  Legs tagged (fn, key, out); ints ride as strings
-    (formatting-exact)."""
+    pattern) + RDFS domain validation of the emitted triples.  Legs
+    tagged (fn, key, out); ints ride as strings (formatting-exact)."""
     closure = _leg(
         q_subclass_closure(spark, sf_dir), "closure",
         F.concat(F.col("type_id"), F.lit("|"), F.col("ancestor_id")),
@@ -1020,7 +1044,12 @@ def q_graph_suite(spark, sf_dir):
                  F.col("doc_b").cast("string")),
         F.col("n_shared").cast("string"),
     )
-    return closure.unionByName(cocite)
+    validate = _leg(
+        q_validate_triples(spark, sf_dir), "validate",
+        F.concat(F.col("subj"), F.lit("|"), F.col("pred")),
+        F.col("verdict"),
+    )
+    return closure.unionByName(cocite).unionByName(validate)
 
 
 def q_dup_ngrams(spark, sf_dir):
@@ -3503,12 +3532,76 @@ db AS (SELECT de.* FROM de JOIN allowed USING (entity_id)),
 cocite AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
   FROM db x JOIN db y ON x.entity_id = y.entity_id AND x.doc_id < y.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2),
+top AS (SELECT * FROM ranked WHERE rk = 1),
+etrip AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'doc:' || doc_id AS subj, {etype_chain} AS pred,
+           'ent:' || entity_id AS obj, 'node' AS obj_type FROM top
+    UNION ALL
+    SELECT 'ent:' || entity_id, '@type', entity_type, 'literal' FROM top
+    UNION ALL
+    SELECT 'ent:' || entity_id, 'name', alias, 'literal' FROM top)),
+dtypes AS (SELECT doc_id, list(DISTINCT entity_type) AS types
+           FROM top GROUP BY doc_id),
+alltrip AS (
+  SELECT subj, pred, obj FROM etrip
+  UNION ALL
+  SELECT 'doc:' || d.doc_id, '@type',
+         coalesce(CASE {main_type_pick} ELSE 'Thing' END, 'Thing')
+  FROM documents d LEFT JOIN dtypes t ON d.doc_id = t.doc_id),
+vnodes AS (
+  SELECT n."@id" AS id, n."@type"::VARCHAR AS typ,
+         json_extract_string(n."rdfs:label", '$') AS label_raw,
+         n."schema:domainIncludes"::VARCHAR AS dom_raw
+  FROM graph),
+vt AS (
+  SELECT regexp_replace(id, '^schema:', 'https://schema.org/') AS type_id,
+         lower(coalesce(CASE WHEN label_raw LIKE '{{%' THEN json_extract_string(label_raw, '$."@value"')
+                             ELSE label_raw END, id)) AS tl
+  FROM vnodes WHERE typ LIKE '%rdfs:Class%'),
+vp AS (
+  SELECT regexp_replace(id, '^schema:', 'https://schema.org/') AS prop_id,
+         lower(coalesce(CASE WHEN label_raw LIKE '{{%' THEN json_extract_string(label_raw, '$."@value"')
+                             ELSE label_raw END, id)) AS pl,
+         list_transform(regexp_extract_all(dom_raw, 'schema:([A-Za-z0-9_]+)', 1),
+                        x -> 'https://schema.org/' || x) AS domains
+  FROM vnodes WHERE typ LIKE '%rdf:Property%'),
+vanc AS (
+  SELECT type_id, type_id AS ancestor_id FROM vt
+  UNION
+  SELECT a.type_id, c.subclass FROM vanc a JOIN cnodes c ON a.ancestor_id = c.type_id
+  WHERE c.subclass IS NOT NULL),
+styping AS (SELECT DISTINCT subj, lower(obj) AS tl FROM alltrip WHERE pred = '@type'),
+stype AS (SELECT s.subj, v.type_id AS st FROM styping s JOIN vt v USING (tl)),
+pt AS (SELECT DISTINCT subj, pred, lower(pred) AS pl FROM alltrip WHERE pred != '@type'),
+pj AS (
+  SELECT pt.subj, pt.pred, p.prop_id, st.st,
+         unnest(CASE WHEN p.domains IS NULL OR len(p.domains) = 0
+                     THEN [NULL] ELSE p.domains END) AS dom
+  FROM pt LEFT JOIN vp p USING (pl) LEFT JOIN stype st ON pt.subj = st.subj),
+vm AS (
+  SELECT pj.*, (a.ancestor_id IS NOT NULL) AS a_ok
+  FROM pj LEFT JOIN vanc a ON pj.st = a.type_id AND pj.dom = a.ancestor_id),
+vflags AS (
+  SELECT subj, pred,
+         bool_or(prop_id IS NOT NULL) AS has_prop,
+         bool_or(st IS NOT NULL) AS has_type,
+         bool_or(a_ok) AS dom_ok,
+         bool_or(prop_id IS NOT NULL AND dom IS NULL) AS no_dom
+  FROM vm GROUP BY subj, pred)
 SELECT 'closure' AS fn, type_id || '|' || ancestor_id AS key,
        min(depth)::VARCHAR AS out
 FROM clo GROUP BY type_id, ancestor_id
 UNION ALL
-SELECT 'cocite', a::VARCHAR || '|' || b::VARCHAR, n::VARCHAR FROM cocite"""
+SELECT 'cocite', a::VARCHAR || '|' || b::VARCHAR, n::VARCHAR FROM cocite
+UNION ALL
+SELECT 'validate', subj || '|' || pred,
+       CASE WHEN NOT has_prop THEN 'unknown_pred'
+            WHEN NOT has_type THEN 'unknown_subject_type'
+            WHEN dom_ok OR no_dom THEN 'valid'
+            ELSE 'invalid' END
+FROM vflags"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

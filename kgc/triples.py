@@ -539,3 +539,88 @@ def render_jsonld(triples: DataFrame) -> DataFrame:
             )
         ).alias("jsonld"),
     )
+
+
+def validate_triples(
+    triples: DataFrame,
+    types_df: DataFrame,
+    props_df: DataFrame,
+) -> DataFrame:
+    """KG QA: RDFS-style DOMAIN validation of emitted triples against
+    the schema.org vocabulary — does the predicate's domainIncludes
+    admit the subject's type (directly or through subClassOf*)?  A
+    triple store runs exactly this check at load time; at corpus scale
+    it is the per-partition lineage metric that catches a drifting
+    extractor (a sudden spike of 'invalid' is a broken upstream stage,
+    per-stage quarantine's statistical twin).
+
+    Input: a triple table (subj, pred, obj, obj_type) where '@type'
+    rows give subject types (labels); plus the types/properties
+    dimensions from kgc.vocab.load_schemaorg.  Output one row per
+    distinct (subj, pred != '@type'):
+
+      verdict ∈ {'valid',            -- a domain admits the type (or the
+                                     -- property declares no domain)
+                 'invalid',          -- typed subject, domains exist,
+                                     -- none admits it
+                 'unknown_pred',     -- predicate not in the vocabulary
+                                     -- (emission-vocabulary extras)
+                 'unknown_subject_type'}  -- subject carries no @type
+
+    Scale shape: the vocabulary (props + reflexive ancestor closure)
+    is a broadcast dimension; the subject-type table is derived from
+    the triples themselves (one filter + distinct) and joins back on
+    subj — a co-partitioned shuffle on the same key the triple table
+    is already hashed by.  EXISTS semantics fold into one groupBy with
+    bool_or flags; no per-row Python anywhere.
+    """
+    from kgc.vocab import type_ancestors
+
+    typing = (
+        triples.filter(F.col("pred") == "@type")
+        .select("subj", F.lower(F.col("obj")).alias("_tl"))
+        .distinct()
+    )
+    tdim = F.broadcast(
+        types_df.select(F.lower(F.col("label")).alias("_tl"), "type_id")
+    )
+    subj_type = typing.join(tdim, "_tl").select(
+        "subj", F.col("type_id").alias("_stype")
+    )
+    pdim = F.broadcast(
+        props_df.select(
+            F.lower(F.col("label")).alias("_pl"), "prop_id", "domains"
+        )
+    )
+    anc = F.broadcast(type_ancestors(types_df))
+    pt = (
+        triples.filter(F.col("pred") != "@type")
+        .select("subj", "pred", F.lower(F.col("pred")).alias("_pl"))
+        .distinct()
+    )
+    j = (
+        pt.join(pdim, "_pl", "left")
+        .join(subj_type, "subj", "left")
+        .select(
+            "subj", "pred", "prop_id", "_stype",
+            F.explode_outer("domains").alias("_dom"),
+        )
+    )
+    m = j.join(
+        anc,
+        (j._stype == anc.type_id) & (j._dom == anc.ancestor_id),
+        "left",
+    )
+    flags = m.groupBy("subj", "pred").agg(
+        F.max(F.col("prop_id").isNotNull()).alias("_has_prop"),
+        F.max(F.col("_stype").isNotNull()).alias("_has_type"),
+        F.max(F.col("ancestor_id").isNotNull()).alias("_dom_ok"),
+        F.max(F.col("prop_id").isNotNull() & F.col("_dom").isNull()).alias("_no_dom"),
+    )
+    verdict = (
+        F.when(~F.col("_has_prop"), F.lit("unknown_pred"))
+        .when(~F.col("_has_type"), F.lit("unknown_subject_type"))
+        .when(F.col("_dom_ok") | F.col("_no_dom"), F.lit("valid"))
+        .otherwise(F.lit("invalid"))
+    )
+    return flags.select("subj", "pred", verdict.alias("verdict"))

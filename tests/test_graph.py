@@ -184,3 +184,45 @@ def test_entity_cocitation_counts_and_hub_cap(spark):
         for r in entity_cocitation(de, df_cap=3).collect()
     }
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_validate_triples_verdicts(spark):
+    """Domain validation over a tiny synthetic vocabulary: all four
+    verdict classes exercised."""
+    from kgc.triples import validate_triples
+
+    types = spark.createDataFrame(
+        [("https://schema.org/Thing", "Thing", "", None),
+         ("https://schema.org/Person", "Person", "", "https://schema.org/Thing"),
+         ("https://schema.org/CreativeWork", "CreativeWork", "",
+          "https://schema.org/Thing")],
+        "type_id string, label string, comment string, subclass_of string",
+    )
+    props = spark.createDataFrame(
+        [("https://schema.org/name", "name", ["https://schema.org/Thing"]),
+         ("https://schema.org/mentions", "mentions",
+          ["https://schema.org/CreativeWork"]),
+         ("https://schema.org/free", "free", [])],
+        "prop_id string, label string, domains array<string>",
+    )
+    triples = spark.createDataFrame(
+        [("e1", "@type", "Person", "literal"),
+         ("e1", "name", "Alice", "literal"),       # Person ⊑ Thing → valid
+         ("e1", "mentions", "x", "node"),          # Person ⋢ CreativeWork → invalid
+         ("e1", "locations", "y", "node"),         # not in vocab → unknown_pred
+         ("e2", "name", "Bob", "literal"),         # e2 untyped → unknown type
+         ("d1", "@type", "CreativeWork", "literal"),
+         ("d1", "mentions", "e1", "node"),         # direct domain hit → valid
+         ("d1", "free", "z", "literal")],          # no declared domain → valid
+        "subj string, pred string, obj string, obj_type string",
+    )
+    got = {(r["subj"], r["pred"]): r["verdict"]
+           for r in validate_triples(triples, types, props).collect()}
+    assert got == {
+        ("e1", "name"): "valid",
+        ("e1", "mentions"): "invalid",
+        ("e1", "locations"): "unknown_pred",
+        ("e2", "name"): "unknown_subject_type",
+        ("d1", "mentions"): "valid",
+        ("d1", "free"): "valid",
+    }
