@@ -1061,6 +1061,21 @@ def q_dup_ngrams(spark, sf_dir):
     return duplicated_ngram_stats(_aug_docs(spark, sf_dir), n=5)
 
 
+def q_dup_ngrams_incremental(spark, sf_dir):
+    """Ingest-time exact-substring check: a NEW batch (doc_id<25 copies,
+    id+100000, novel tail appended) probed against the EXISTING corpus
+    gram index.  Within-batch repeats deliberately don't count — only
+    grams the corpus already holds."""
+    from kgc.dedup import incremental_duplicated_ngrams
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    new_batch = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" freshly appended ingest tail")).alias("text"),
+    )
+    return incremental_duplicated_ngrams(new_batch, d, n=5)
+
+
 def q_source_caps(spark, sf_dir):
     """Per-source document cap (FineWeb/Dolma-style domain balancing):
     ≤ 20 docs per source, md5-rank deterministic."""
@@ -1985,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngrams": q_dup_ngrams,
+        "dup_ngrams_incremental": q_dup_ngrams_incremental,
         # -- text QA / masking --
         "pii_suite": q_pii_suite,
         "lm_score": q_lm_score,
@@ -3621,6 +3637,31 @@ nd AS (SELECT doc_id, count(*) AS n_dup FROM dg GROUP BY doc_id),
 tot AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
                (CASE WHEN len(toks) >= 5 THEN len(toks) - 4 ELSE 0 END)::BIGINT AS n_grams
         FROM t)
+SELECT tot.doc_id, n_toks, n_grams,
+       coalesce(nd.n_dup, 0)::BIGINT AS n_dup_grams,
+       coalesce(cov.covered, 0)::BIGINT AS covered_toks
+FROM tot LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)"""
+
+    q["dup_ngrams_incremental"] = r"""
+WITH nb AS (SELECT doc_id + 100000 AS doc_id,
+                   text || ' freshly appended ingest tail' AS text
+            FROM documents WHERE doc_id < 25),
+tn AS (SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks FROM nb),
+gn AS (SELECT doc_id, i AS pos,
+              md5(array_to_string(list_slice(toks, i + 1, i + 5), ' ')) AS gh
+       FROM tn, unnest(generate_series(0, len(toks) - 5)) AS u(i)
+       WHERE len(toks) >= 5),
+tc AS (SELECT regexp_extract_all(lower(text), '[^\W_]+') AS toks FROM documents),
+idx AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, i + 1, i + 5), ' ')) AS gh
+        FROM tc, unnest(generate_series(0, len(toks) - 5)) AS u(i)
+        WHERE len(toks) >= 5),
+dg AS (SELECT gn.doc_id, gn.pos FROM gn JOIN idx USING (gh)),
+cov AS (SELECT doc_id, count(DISTINCT pos + d) AS covered
+        FROM dg, unnest(generate_series(0, 4)) AS v(d) GROUP BY doc_id),
+nd AS (SELECT doc_id, count(*) AS n_dup FROM dg GROUP BY doc_id),
+tot AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+               (CASE WHEN len(toks) >= 5 THEN len(toks) - 4 ELSE 0 END)::BIGINT AS n_grams
+        FROM tn)
 SELECT tot.doc_id, n_toks, n_grams,
        coalesce(nd.n_dup, 0)::BIGINT AS n_dup_grams,
        coalesce(cov.covered, 0)::BIGINT AS covered_toks

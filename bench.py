@@ -101,6 +101,7 @@ def main() -> None:
     run("lm_score", em.q_lm_score)
     run("corpus_curation", em.q_corpus_curation)
     run("dup_ngrams", em.q_dup_ngrams)
+    run("dup_ngrams_incremental", em.q_dup_ngrams_incremental)
     run("source_caps", em.q_source_caps)
     # semantic_dedup: centroid training happens at plan-build (same
     # amortized-offline treatment as ann_ivf); the timed dataflow is

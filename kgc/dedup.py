@@ -733,6 +733,24 @@ def duplicated_ngram_stats(
     groupBy on doc_id.  Three bounded shuffles total, all on uniform
     keys.
     """
+    base, grams = _gram_tables(docs, text_col, id_col, n)
+    grams = grams.persist()  # consumed twice: frequency agg + dup join
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    out = _dup_stats(base, grams.join(dup, "gh"), n)
+    out._kgc_pinned = [grams]  # released by kgc.pipeline.release
+    return out
+
+
+def _gram_tables(docs, text_col: str, id_col: str, n: int):
+    """(base, grams) — the staged token→gram build shared by the batch
+    and incremental exact-substring operators.  base = (doc_id, n_toks,
+    grams array<struct<pos,gh>>); grams = the exploded (doc_id, pos,
+    gh) rows, NOT persisted (callers pin when multi-consumed)."""
     from kgc.textops import norm_tokens
 
     toks = docs.select(
@@ -767,20 +785,19 @@ def duplicated_ngram_stats(
         base.select("doc_id", F.explode_outer("grams").alias("g"))
         .filter(F.col("g").isNotNull())
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-        .persist()  # consumed twice: the frequency agg and the dup join
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("gh")
-    )
-    # one combined aggregation over the duplicated subset: each dup gram
-    # row is unique per (doc_id, pos), so after exploding its covered
-    # token range, n_dup_grams = distinct pos and covered = distinct idx
+    return base, grams
+
+
+def _dup_stats(base, dup_grams, n: int):
+    """Fold the duplicated-gram rows into the per-doc output table.
+
+    One combined aggregation: each dup gram row is unique per
+    (doc_id, pos), so after exploding its covered token range,
+    n_dup_grams = distinct pos and covered_toks = distinct idx;
+    n_grams is analytic (max(n_toks − n + 1, 0)) — no extra pass."""
     stats = (
-        grams.join(dup, "gh")
-        .select(
+        dup_grams.select(
             "doc_id", "pos",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
         )
@@ -790,16 +807,39 @@ def duplicated_ngram_stats(
             F.count_distinct("idx").cast("bigint").alias("covered_toks"),
         )
     )
-    # n_grams is analytic (max(n_toks - n + 1, 0)) — no extra pass
     totals = base.select(
         "doc_id", "n_toks",
         F.greatest(F.col("n_toks") - (n - 1), F.lit(0))
         .cast("bigint").alias("n_grams"),
     )
-    out = totals.join(stats, "doc_id", "left").select(
+    return totals.join(stats, "doc_id", "left").select(
         "doc_id", "n_toks", "n_grams",
         F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
         F.coalesce("covered_toks", F.lit(0)).cast("bigint").alias("covered_toks"),
     )
-    out._kgc_pinned = [grams]  # released by kgc.pipeline.release
-    return out
+
+
+def incremental_duplicated_ngrams(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Ingest-time exact-substring check: per NEW document, how much of
+    it already exists verbatim (width-``n`` grams) anywhere in the
+    EXISTING corpus — the incremental twin of
+    :func:`duplicated_ngram_stats`, same output schema.
+
+    Scale posture mirrors ``incremental_near_duplicates``: the corpus
+    side reduces to its distinct gram-hash INDEX (one aggregation that
+    in production is a materialized table maintained across ingests —
+    the corpus is never re-self-joined), and each new batch probes it
+    with one shuffle join on the md5-uniform hash.  Within-batch
+    duplication is deliberately NOT counted here (run the batch
+    operator for that); a gram counts as duplicated only if the CORPUS
+    already has it."""
+    base_new, grams_new = _gram_tables(new_batch, text_col, id_col, n)
+    _, grams_corpus = _gram_tables(corpus, text_col, id_col, n)
+    index = grams_corpus.select("gh").distinct()
+    return _dup_stats(base_new, grams_new.join(index, "gh"), n)

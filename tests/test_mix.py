@@ -289,3 +289,27 @@ def test_semantic_dedup_drops_copies_keeps_min_id(spark):
     cents = train_centroids(corpus, n_centroids=4, iters=2)
     got = {r["vec_id"]: r["kept"] for r in semantic_dedup(corpus, cents).collect()}
     assert got == {0: True, 1: True, 2: True, 3: True, 100: False, 101: False}
+
+
+def test_incremental_duplicated_ngrams_probes_corpus_only(spark):
+    from kgc.dedup import incremental_duplicated_ngrams
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # shares the corpus's first 5-gram → duplicated
+            (100, "alpha beta gamma delta epsilon NEW"),
+            # within-BATCH repeat of a novel gram — must NOT count
+            (101, "q w e r t y"),
+            (102, "q w e r t y"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in incremental_duplicated_ngrams(batch, corpus, n=5).collect()}
+    assert got[100]["n_dup_grams"] == 1 and got[100]["covered_toks"] == 5
+    assert got[101]["n_dup_grams"] == 0 and got[102]["n_dup_grams"] == 0
+    assert set(got) == {100, 101, 102}
