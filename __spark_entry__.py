@@ -358,6 +358,16 @@ def q_pagerank_entities(spark, sf_dir):
     iteration bit-exact across engines; the oracle unrolls the same
     recurrence as 8 chained CTEs."""
     from kgc.graph import comention_edges, pagerank
+
+    edges = comention_edges(_linked_entities(spark, sf_dir))
+    return pagerank(edges, iters=8).select(
+        F.col("node").alias("entity_id"), "rank"
+    )
+
+
+def _linked_entities(spark, sf_dir):
+    """(doc_id, entity_id) top-1 links over the whole corpus — the
+    shared edge source for pagerank_entities and entity_triangles."""
     from kgc.link import link_exact
     from kgc.mentions import detect_mentions_ngram
 
@@ -369,10 +379,16 @@ def q_pagerank_entities(spark, sf_dir):
     linked = link_exact(
         m, _alias_df(spark), mention_key=("doc_id", "tok_begin", "n_toks")
     )
-    edges = comention_edges(linked.select("doc_id", "entity_id"))
-    return pagerank(edges, iters=8).select(
-        F.col("node").alias("entity_id"), "rank"
-    )
+    return linked.select("doc_id", "entity_id")
+
+
+def q_entity_triangles(spark, sf_dir):
+    """Per-entity triangle counts + clustering coefficient over the
+    co-mention graph (same edge derivation as pagerank_entities),
+    degree-ordered orientation — kgc.graph.triangle_counts."""
+    from kgc.graph import comention_edges, triangle_counts
+
+    return triangle_counts(comention_edges(_linked_entities(spark, sf_dir)))
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -510,19 +526,71 @@ def q_dedup_groups(spark, sf_dir):
     )
 
 
-def q_dedup_incremental(spark, sf_dir):
-    """Ingest-time dedup of a NEW batch (mutated copies of doc_id<25,
-    id+100000) against the EXISTING corpus (documents) via the
-    precomputed LSH band index — the incremental path that never
-    re-self-joins the corpus."""
-    from kgc.dedup import incremental_near_duplicates
-
+def _new_batch(spark, sf_dir):
+    """The synthetic ingest batch: mutated copies of doc_id<25
+    (id+100000, tail marker appended) — near-dups of corpus docs."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    new_batch = d.filter(F.col("doc_id") < 25).select(
+    return d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" duplicated tail marker")).alias("text"),
     )
-    return incremental_near_duplicates(new_batch, d, k=16, bands=4, threshold=0.5)
+
+
+def q_dedup_incremental_batch(spark, sf_dir):
+    """Ingest-time dedup of a NEW batch (_new_batch) against the
+    EXISTING corpus (documents) via the precomputed LSH band index —
+    the incremental path that never re-self-joins the corpus."""
+    from kgc.dedup import incremental_near_duplicates
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return incremental_near_duplicates(
+        _new_batch(spark, sf_dir), d, k=16, bands=4, threshold=0.5
+    )
+
+
+def q_stream_dedup_incremental(spark, sf_dir):
+    """Streaming leg of dedup_incremental: the SAME new batch arrives
+    as a 3-file stream (maxFilesPerTrigger=1 → 3 micro-batches), each
+    probing the prebuilt corpus LSH band index through foreachBatch
+    with an idempotent batch-partitioned sink
+    (kgc.streaming.stream_incremental_neardup); the drained table must
+    equal the one-shot batch probe bit-exactly."""
+    import tempfile
+
+    from kgc.streaming import stream_incremental_neardup
+
+    key = (sf_dir, "_neardup_newbatch")
+    if key not in _STREAM_STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="kgc_stream_newb_")
+        _new_batch(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(d)
+        _STREAM_STAGE_CACHE[key] = d
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_STAGE_CACHE[key])
+    )
+    return stream_incremental_neardup(
+        src, _docs(spark, sf_dir).select("doc_id", "text"),
+        tempfile.mkdtemp(prefix="kgc_neardup_out_"),
+        tempfile.mkdtemp(prefix="kgc_neardup_ck_"),
+        k=16, bands=4, threshold=0.5,
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time near-dup against the corpus LSH band index, batch
+    AND streaming as one hash-checked suite: leg 'batch' = the one-shot
+    probe (q_dedup_incremental_batch); leg 'stream' = the same batch
+    arriving as 3 micro-batches through foreachBatch
+    (q_stream_dedup_incremental).  Both legs check against the SAME
+    md5-replayed DuckDB derivation; jaccard rides as a 1e6-scaled
+    integer (doubles don't cast to identical strings across engines)."""
+    key = F.concat(F.col("new_id").cast("string"), F.lit("|"),
+                   F.col("corpus_id").cast("string"))
+    jint = F.round(F.col("jaccard") * 1000000).cast("bigint").cast("string")
+    batch = _leg(q_dedup_incremental_batch(spark, sf_dir), "batch", key, jint)
+    stream = _leg(q_stream_dedup_incremental(spark, sf_dir), "stream", key, jint)
+    return batch.unionByName(stream)
 
 
 def q_dedup_survivors(spark, sf_dir):
@@ -1031,8 +1099,11 @@ def q_graph_suite(spark, sf_dir):
     """KG-graph operator family: subClassOf* closure (path-doubling
     transitive closure over the ~1,400-edge schema.org class DAG,
     depths 1..7) + entity co-citation (the 2-hop doc—entity—doc
-    pattern) + RDFS domain validation of the emitted triples.  Legs
-    tagged (fn, key, out); ints ride as strings (formatting-exact)."""
+    pattern) + RDFS domain validation of the emitted triples +
+    per-entity triangle counts / clustering coefficient over the
+    co-mention graph (degree-ordered orientation).  Legs tagged
+    (fn, key, out); ints ride as strings (formatting-exact);
+    clustering rides 1e6-scaled."""
     closure = _leg(
         q_subclass_closure(spark, sf_dir), "closure",
         F.concat(F.col("type_id"), F.lit("|"), F.col("ancestor_id")),
@@ -1049,7 +1120,14 @@ def q_graph_suite(spark, sf_dir):
         F.concat(F.col("subj"), F.lit("|"), F.col("pred")),
         F.col("verdict"),
     )
-    return closure.unionByName(cocite).unionByName(validate)
+    tri = _leg(
+        q_entity_triangles(spark, sf_dir), "triangles",
+        F.col("node").cast("string"),
+        F.concat_ws("|", F.col("deg").cast("string"),
+                    F.col("n_triangles").cast("string"),
+                    F.col("clustering_ppm").cast("string")),
+    )
+    return closure.unionByName(cocite).unionByName(validate).unionByName(tri)
 
 
 def q_dup_ngrams(spark, sf_dir):
@@ -1074,6 +1152,23 @@ def q_dup_ngrams_incremental(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" freshly appended ingest tail")).alias("text"),
     )
     return incremental_duplicated_ngrams(new_batch, d, n=5)
+
+
+def q_dup_ngrams_suite(spark, sf_dir):
+    """Exact-substring duplication stats, batch AND incremental as one
+    hash-checked suite: leg 'batch' = duplicated_ngram_stats over the
+    augmented corpus (q_dup_ngrams), leg 'incr' = a new batch probing
+    the corpus gram index (q_dup_ngrams_incremental).  Same 5-count
+    schema per leg, so out = the four counts pipe-joined."""
+    counts = F.concat_ws(
+        "|", F.col("n_toks").cast("string"), F.col("n_grams").cast("string"),
+        F.col("n_dup_grams").cast("string"), F.col("covered_toks").cast("string"),
+    )
+    batch = _leg(q_dup_ngrams(spark, sf_dir), "batch", F.col("doc_id"), counts)
+    incr = _leg(
+        q_dup_ngrams_incremental(spark, sf_dir), "incr", F.col("doc_id"), counts
+    )
+    return batch.unionByName(incr)
 
 
 def q_source_caps(spark, sf_dir):
@@ -1999,8 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_suite": q_simhash_suite,
         "ngram_jaccard": q_ngram_jaccard,
         "paragraph_dedup": q_paragraph_dedup,
-        "dup_ngrams": q_dup_ngrams,
-        "dup_ngrams_incremental": q_dup_ngrams_incremental,
+        "dup_ngrams_suite": q_dup_ngrams_suite,
         # -- text QA / masking --
         "pii_suite": q_pii_suite,
         "lm_score": q_lm_score,
@@ -2858,7 +2952,7 @@ FROM comp c JOIN gs g ON c.component = g.component"""
 
     # incremental ingest dedup: new-batch band keys probe the corpus
     # band index; no a<b constraint (the sides are distinct tables)
-    q["dedup_incremental"] = f"""
+    q["dedup_incremental_leg"] = f"""
 WITH newb AS (SELECT doc_id + 100000 AS doc_id, text || ' duplicated tail marker' AS text
               FROM documents WHERE doc_id < 25),
 shn AS (SELECT doc_id AS new_id, {_sql_shingles('text')} AS sh FROM newb
@@ -3549,6 +3643,24 @@ cocite AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
   FROM db x JOIN db y ON x.entity_id = y.entity_id AND x.doc_id < y.doc_id
   GROUP BY 1, 2),
+tcop AS MATERIALIZED (SELECT DISTINCT doc_id, entity_id FROM ranked WHERE rk = 1),
+tpr AS MATERIALIZED (
+  SELECT DISTINCT x.entity_id AS a, y.entity_id AS b
+  FROM tcop x JOIN tcop y ON x.doc_id = y.doc_id AND x.entity_id < y.entity_id),
+tund AS (SELECT a AS u, b AS v FROM tpr UNION ALL SELECT b, a FROM tpr),
+tdeg AS MATERIALIZED (SELECT u, count(*) AS deg FROM tund GROUP BY u),
+tor AS MATERIALIZED (
+  SELECT e.u AS a, e.v AS b, dv.deg AS dvb
+  FROM tund e JOIN tdeg du ON du.u = e.u JOIN tdeg dv ON dv.u = e.v
+  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)),
+twed AS (
+  SELECT o1.a, o1.b, o2.b AS c
+  FROM tor o1 JOIN tor o2 ON o1.a = o2.a
+  WHERE o1.dvb < o2.dvb OR (o1.dvb = o2.dvb AND o1.b < o2.b)),
+ttri AS (SELECT w.a, w.b, w.c FROM twed w JOIN tor o ON o.a = w.b AND o.b = w.c),
+tcnt AS (SELECT node, count(*) AS nt FROM (
+  SELECT a AS node FROM ttri UNION ALL SELECT b FROM ttri
+  UNION ALL SELECT c FROM ttri) GROUP BY node),
 top AS (SELECT * FROM ranked WHERE rk = 1),
 etrip AS (
   SELECT DISTINCT * FROM (
@@ -3617,7 +3729,15 @@ SELECT 'validate', subj || '|' || pred,
             WHEN NOT has_type THEN 'unknown_subject_type'
             WHEN dom_ok OR no_dom THEN 'valid'
             ELSE 'invalid' END
-FROM vflags"""
+FROM vflags
+UNION ALL
+SELECT 'triangles', d.u::VARCHAR,
+       d.deg::VARCHAR || '|' || coalesce(t.nt, 0)::VARCHAR || '|' ||
+       (CASE WHEN d.deg >= 2
+             THEN round(2.0 * coalesce(t.nt, 0) * 1000000
+                        / (d.deg * (d.deg - 1)))::BIGINT
+             ELSE 0 END)::VARCHAR
+FROM tdeg d LEFT JOIN tcnt t ON d.u = t.node"""
     )
 
     # exact-substring duplication stats (width-5 grams over the
@@ -3667,6 +3787,25 @@ SELECT tot.doc_id, n_toks, n_grams,
        coalesce(cov.covered, 0)::BIGINT AS covered_toks
 FROM tot LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)"""
 
+    _counts4 = (
+        "n_toks::VARCHAR || '|' || n_grams::VARCHAR || '|' || "
+        "n_dup_grams::VARCHAR || '|' || covered_toks::VARCHAR"
+    )
+    q["dup_ngrams_suite"] = "\nUNION ALL\n".join([
+        _wrap("batch", "doc_id::VARCHAR", _counts4, "dup_ngrams"),
+        _wrap("incr", "doc_id::VARCHAR", _counts4, "dup_ngrams_incremental"),
+    ])
+
+    # dedup_incremental: batch + streaming legs replay the SAME
+    # derivation; jaccard rides as a 1e6-scaled integer (doubles don't
+    # cast to identical strings across engines — q_dedup_incremental)
+    _jkey = "new_id::VARCHAR || '|' || corpus_id::VARCHAR"
+    _jint = "round(jaccard * 1000000)::BIGINT::VARCHAR"
+    q["dedup_incremental"] = "\nUNION ALL\n".join([
+        _wrap("batch", _jkey, _jint, "dedup_incremental_leg"),
+        _wrap("stream", _jkey, _jint, "dedup_incremental_leg"),
+    ])
+
     # per-source cap: md5-of-id rank, deterministic
     q["source_caps"] = """
 SELECT doc_id, source, rk FROM (
@@ -3712,6 +3851,7 @@ FROM lists l LEFT JOIN drp d ON l.vec_id = d.b"""
         "langid", "quality", "repetition", "fingerprint",
         "simhash", "simhash_pairs", "embed_signature",
         "embed_dedup_groups", "dedup_groups", "dedup_survivors",
+        "dup_ngrams", "dup_ngrams_incremental", "dedup_incremental_leg",
         "events_rollup", "revenue_by_nation", "top_parts", "user_journeys",
     ):
         del q[_name]

@@ -96,6 +96,7 @@ def main() -> None:
     run("corpus_mix", em.q_corpus_mix)
     run("stratified_sample", em.q_stratified_sample)
     run("decontaminate", em.q_decontaminate)
+    run("dedup_incremental", em.q_dedup_incremental_batch)
     run("paragraph_dedup", em.q_paragraph_dedup)
     run("pii_suite", em.q_pii_suite)
     run("lm_score", em.q_lm_score)

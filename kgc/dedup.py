@@ -485,23 +485,79 @@ def incremental_near_duplicates(
     (md5-replayable in the DuckDB oracle); candidates are verified with
     exact shingle Jaccard like the batch operator.
     """
+    sh_corpus, banded_corpus = build_band_index(
+        corpus_df, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, k=k, bands=bands,
+    )
+    out = probe_band_index(
+        new_df, (sh_corpus, banded_corpus), text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, k=k, bands=bands, threshold=threshold,
+    )
+    # released by kgc.pipeline.release (probe pinned sh_new already)
+    out._kgc_pinned = out._kgc_pinned + [sh_corpus, banded_corpus]
+    return out
+
+
+def _staged_shingles(
+    d: DataFrame, text_col: str, id_col: str, out_id: str, shingle_n: int
+) -> DataFrame:
     from pyspark import StorageLevel
 
     from kgc.link import shingles_from_tokens
     from kgc.textops import norm_tokens
 
-    def staged_shingles(d: DataFrame, out_id: str) -> DataFrame:
-        return (
-            d.select(F.col(id_col).alias(out_id), norm_tokens(text_col).alias("_toks"))
-            .filter(F.size("_toks") > 0)
-            .select(out_id, shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    return (
+        d.select(F.col(id_col).alias(out_id), norm_tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(out_id, shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    sh_new = staged_shingles(new_df, "new_id")
-    sh_corpus = staged_shingles(corpus_df, "corpus_id")
+
+def build_band_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> tuple:
+    """The corpus LSH INDEX: (sh_corpus, banded_corpus), both persisted.
+
+    Build once per corpus snapshot, probe many times
+    (:func:`probe_band_index`) — per-ingest batches and streaming
+    micro-batches never recompute or re-shuffle the corpus side.  In
+    production both tables are materialized parquet, bucketed by
+    (band, key) / corpus_id; here persist() stands in.  Caller releases
+    via kgc.pipeline.release (or unpersist) when the ingest ends.
+    """
+    from pyspark import StorageLevel
+
+    sh_corpus = _staged_shingles(corpus_df, text_col, id_col, "corpus_id", shingle_n)
+    banded_corpus = lsh_band_keys(sh_corpus, "sh", ["corpus_id"], k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return sh_corpus, banded_corpus
+
+
+def probe_band_index(
+    new_df: DataFrame,
+    index: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a :func:`build_band_index` corpus index with a batch of NEW
+    docs → (new_id, corpus_id, jaccard) near-dup pairs.  shingle_n / k /
+    bands must match the index build.  The new side is small relative to
+    the corpus in the normal ingest case, so AQE broadcasts it and the
+    index is never shuffled."""
+    sh_corpus, banded_corpus = index
+    sh_new = _staged_shingles(new_df, text_col, id_col, "new_id", shingle_n)
     banded_new = lsh_band_keys(sh_new, "sh", ["new_id"], k, bands)
-    banded_corpus = lsh_band_keys(sh_corpus, "sh", ["corpus_id"], k, bands)
     pairs = (
         banded_new.join(banded_corpus, ["band", "key"])
         .select("new_id", "corpus_id")
@@ -514,7 +570,7 @@ def incremental_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
-    out._kgc_pinned = [sh_new, sh_corpus]  # released by kgc.pipeline.release
+    out._kgc_pinned = [sh_new]  # released by kgc.pipeline.release
     return out
 
 

@@ -268,3 +268,80 @@ def entity_cocitation(
     )
     out._kgc_pinned = [de]  # released by kgc.pipeline.release
     return out
+
+
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as a SYMMETRIC edge list (both directions
+    present, no self-loops, no duplicates — comention_edges' contract).
+
+    Output: (node, deg, n_triangles, clustering_ppm) — the coefficient
+    rides as a 1e6-scaled BIGINT (2e6·T/(deg·(deg−1)), rounded; 0 for
+    deg<2) so it is bit-portable across engines (no double→string).
+
+    Scale posture — degree-ordered orientation (the partition-friendly
+    node-iterator of Suri & Vassilvitskii, WWW'11): each undirected
+    edge is kept ONCE, directed toward its (deg, id)-larger endpoint,
+    and wedges fan out only from the (deg, id)-SMALLEST corner of each
+    triangle, which bounds per-node join fan-out by O(√m) on ANY graph
+    — exactly the de-skew a power-law co-mention graph needs (a hub
+    with degree 10⁶ emits no wedges; its low-degree neighbors each
+    emit a handful).  Three bounded shuffles: degree agg, wedge
+    self-join on the pivot, closing-edge join on (b, c).  The oriented
+    edge table is persisted (consumed three times); callers release
+    via kgc.pipeline.release.
+    """
+    from pyspark import StorageLevel
+
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    orient = (
+        und.join(deg.select(F.col("u").alias("_x"), F.col("deg").alias("du")),
+                 F.col("u") == F.col("_x"))
+        .join(deg.select(F.col("u").alias("_y"), F.col("deg").alias("dv")),
+              F.col("v") == F.col("_y"))
+        .filter((F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+        .select("u", "v", "dv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    o1 = orient.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                       F.col("dv").alias("db"))
+    o2 = orient.select(F.col("u").alias("a"), F.col("v").alias("c"),
+                       F.col("dv").alias("dc"))
+    wedges = (
+        o1.join(o2, "a")
+        .filter((F.col("db") < F.col("dc"))
+                | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))))
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(
+        orient.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    cnt = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("nt"))
+    out = (
+        deg.join(cnt, deg["u"] == cnt["node"], "left")
+        .select(
+            F.col("u").alias("node"), F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("nt", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering_ppm",
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.lit(2.0) * F.col("n_triangles") * 1000000
+                    / (F.col("deg") * (F.col("deg") - 1))
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+    )
+    out._kgc_pinned = [deg, orient]  # released by kgc.pipeline.release
+    return out

@@ -226,3 +226,23 @@ def test_validate_triples_verdicts(spark):
         ("d1", "mentions"): "valid",
         ("d1", "free"): "valid",
     }
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 (nodes 1-4) + pendant 5-1: every K4 node sits in 3 triangles;
+    node 1 (deg 4) has clustering 1/2, nodes 2-4 (deg 3) have 1, the
+    pendant (deg 1) has 0 triangles and 0 clustering."""
+    from kgc.graph import triangle_counts
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "u bigint, v bigint")
+    got = {r["node"]: (r["deg"], r["n_triangles"], r["clustering_ppm"])
+           for r in triangle_counts(edges).collect()}
+    assert got == {
+        1: (4, 3, 500000),
+        2: (3, 3, 1000000),
+        3: (3, 3, 1000000),
+        4: (3, 3, 1000000),
+        5: (1, 0, 0),
+    }

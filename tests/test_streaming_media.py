@@ -257,3 +257,44 @@ def test_streaming_triples_equal_batch(spark, sf_dir):
     want = E.q_entity_triples(spark, sf_dir)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_incremental_neardup_equals_batch(spark, tmp_path):
+    """The foreachBatch corpus-index probe, drained over 3 micro-batches,
+    must equal the one-shot batch probe row-for-row — including a
+    near-dup pair split across different micro-batches."""
+    from kgc.dedup import incremental_near_duplicates
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over lazy dog number {i} "
+              "with some shared trailing boilerplate text") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"the quick brown fox jumps over lazy dog number {i} "
+                   "with some shared trailing boilerplate text appended")
+         for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    src_dir = tmp_path / "neardup_src"
+    new.repartition(3).write.parquet(str(src_dir))
+
+    expected = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_near_duplicates(new, corpus, k=16, bands=4,
+                                             threshold=0.3).collect()
+    )
+    assert expected, "fixture must produce near-dup pairs"
+
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    got = streaming.stream_incremental_neardup(
+        src, corpus, str(tmp_path / "neardup_out"),
+        str(tmp_path / "neardup_ckpt"), k=16, bands=4, threshold=0.3,
+    )
+    assert sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"]) for r in got.collect()
+    ) == expected
