@@ -126,7 +126,9 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=False)
 
     out = ranks.select(F.col("u").alias("node"), F.col("rank").cast("long"))
-    out._kgc_pinned = [e, deg, nodes, dangling]  # released by kgc.pipeline.release
+    # released by kgc.pipeline.release (propagate the input's pins,
+    # e.g. comention_edges' de)
+    out._kgc_pinned = getattr(edges, "_kgc_pinned", []) + [e, deg, nodes, dangling]
     return out
 
 
@@ -139,9 +141,14 @@ def comention_edges(doc_entities: DataFrame, doc_col: str = "doc_id",
     mentions O(10) entities, so per-key fan-out is bounded); DISTINCT
     collapses repeat co-mentions across documents.
     """
-    de = doc_entities.select(
-        F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    de = (
+        doc_entities.select(F.col(doc_col).alias("_d"), F.col(ent_col).alias("_e"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # self-joined below: without the pin the (possibly expensive)
+    # upstream derivation replays once per side
     x, y = de.alias("x"), de.alias("y")
     pairs = (
         x.join(y, F.col("x._d") == F.col("y._d"))
@@ -149,9 +156,11 @@ def comention_edges(doc_entities: DataFrame, doc_col: str = "doc_id",
         .select(F.col("x._e").alias("a"), F.col("y._e").alias("b"))
         .distinct()
     )
-    return pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+    out = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    out._kgc_pinned = [de]  # released by kgc.pipeline.release
+    return out
 
 
 def transitive_closure(
@@ -293,7 +302,13 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     """
     from pyspark import StorageLevel
 
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # the edge list is consumed twice (degree agg, orientation) and its
+    # upstream can be an expensive derivation (the mention-scan chain
+    # for the co-mention graph) — pin it first or every consumer
+    # replays that chain
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -343,5 +358,7 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
             ).otherwise(F.lit(0).cast("bigint")),
         )
     )
-    out._kgc_pinned = [deg, orient]  # released by kgc.pipeline.release
+    # released by kgc.pipeline.release (propagate the input's pins —
+    # e.g. comention_edges' de — alongside our own)
+    out._kgc_pinned = getattr(edges, "_kgc_pinned", []) + [und, deg, orient]
     return out
