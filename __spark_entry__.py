@@ -337,16 +337,38 @@ def q_streaming_triples(spark, sf_dir):
 
 
 def q_connected_components(spark, sf_dir):
-    from kgc.canon import connected_components
+    """Connected components, batch AND incremental as one hash-checked
+    suite over the nation—region bipartite graph: leg 'batch' = CC over
+    all edges at once; leg 'incr' = CC over the even-nation half only,
+    then kgc.canon.incremental_components folds the odd-nation half
+    into that assignment — the ingest path that re-reads the previous
+    assignment (a spanning star forest), never the historical edges.
+    Both legs must produce the identical (node, component) table, so
+    both check against the SAME closed-form DuckDB oracle."""
+    from kgc.canon import connected_components, incremental_components
 
     n = _read(spark, sf_dir, "nation")
     edges = n.select(
         F.col("n_nationkey").cast("bigint").alias("src"),
         (F.col("n_regionkey").cast("bigint") + 1000).alias("dst"),
     )
-    return connected_components(edges, max_iter=8).select(
-        F.col("node").cast("bigint").alias("node"),
-        F.col("component").cast("bigint").alias("component"),
+
+    def shaped(df):
+        return df.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("component").cast("bigint").alias("component"),
+        )
+
+    batch = shaped(connected_components(edges, max_iter=8))
+    assign = connected_components(
+        edges.filter(F.col("src") % 2 == 0), max_iter=8
+    )
+    incr = shaped(incremental_components(
+        assign, edges.filter(F.col("src") % 2 == 1), max_iter=8
+    ))
+    out = F.col("component").cast("string")
+    return _leg(batch, "batch", F.col("node"), out).unionByName(
+        _leg(incr, "incr", F.col("node"), out)
     )
 
 
@@ -2756,7 +2778,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rk <= 5"""
 
-    q["connected_components"] = """
+    q["connected_components_leg"] = """
 WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn FROM nation GROUP BY 1)
 SELECT n_nationkey::BIGINT AS node, m.mn::BIGINT AS component
 FROM nation JOIN m USING (n_regionkey)
@@ -3806,6 +3828,16 @@ FROM tot LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)"""
         _wrap("stream", _jkey, _jint, "dedup_incremental_leg"),
     ])
 
+    # connected_components: the incremental fold must reproduce the
+    # batch assignment bit-exactly, so both legs wrap the same
+    # closed-form derivation
+    q["connected_components"] = "\nUNION ALL\n".join([
+        _wrap("batch", "node::VARCHAR", "component::VARCHAR",
+              "connected_components_leg"),
+        _wrap("incr", "node::VARCHAR", "component::VARCHAR",
+              "connected_components_leg"),
+    ])
+
     # per-source cap: md5-of-id rank, deterministic
     q["source_caps"] = """
 SELECT doc_id, source, rk FROM (
@@ -3852,6 +3884,7 @@ FROM lists l LEFT JOIN drp d ON l.vec_id = d.b"""
         "simhash", "simhash_pairs", "embed_signature",
         "embed_dedup_groups", "dedup_groups", "dedup_survivors",
         "dup_ngrams", "dup_ngrams_incremental", "dedup_incremental_leg",
+        "connected_components_leg",
         "events_rollup", "revenue_by_nation", "top_parts", "user_journeys",
     ):
         del q[_name]

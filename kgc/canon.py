@@ -188,6 +188,36 @@ def connected_components(
     )
 
 
+def incremental_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **kwargs,
+) -> DataFrame:
+    """Fold a NEW edge batch into an EXISTING (node, component)
+    assignment — the ingest-time path of entity canonicalization.
+
+    The existing assignment IS a spanning star forest of the historical
+    graph (every node → its component's min id), so running
+    :func:`connected_components` over (star edges ∪ new edges) yields
+    exactly the assignment a full recompute over ALL historical edges
+    would — components merge when a new edge bridges them, labels stay
+    the min node id — while the shuffled input is O(|nodes| + |new
+    batch|) rows instead of O(|historical edges|).  At 10^12-triple
+    scale the historical edge set is never re-read: the assignment
+    table (itself the previous call's output) is the only state carried
+    between ingests.  kwargs forward to connected_components
+    (max_iter, salt, small_graph_threshold, ...).
+    """
+    star = assignments.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    return connected_components(
+        star.unionByName(new_edges.select(src, dst)), src=src, dst=dst, **kwargs
+    )
+
+
 def canonicalize_entities(
     linked: DataFrame,
     alias_df: DataFrame,

@@ -323,3 +323,28 @@ def test_exact_link_non_ascii_alias(spark):
     got = {(r["alias"], r["entity_id"]) for r in linked.collect()}
     assert ("müller", "E_M") in got or ("muller", "E_M") in got, got
     assert ("café", "E_C") in got or ("cafe", "E_C") in got, got
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Folding a new edge batch into an existing assignment must equal
+    CC over the union — including a bridge that merges two old
+    components into one (label drops to the global min)."""
+    from kgc.canon import connected_components, incremental_components
+
+    old = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint")
+    new = spark.createDataFrame([(3, 10), (20, 21)], "src bigint, dst bigint")
+
+    full = connected_components(old.unionByName(new), max_iter=8)
+    assign = connected_components(old, max_iter=8)
+    incr = incremental_components(assign, new, max_iter=8)
+
+    as_map = lambda df: {r["node"]: r["component"] for r in df.collect()}
+    got = as_map(incr)
+    assert got == as_map(full)
+    # the bridge merged {1,2,3} and {10,11} under the global min 1
+    assert got[11] == 1 and got[20] == 20 and got[21] == 20
+    # distributed path agrees with the union-find shortcut
+    incr_dist = incremental_components(
+        assign, new, max_iter=8, small_graph_threshold=0
+    )
+    assert as_map(incr_dist) == got
