@@ -298,3 +298,41 @@ def test_stream_incremental_neardup_equals_batch(spark, tmp_path):
     assert sorted(
         (r["new_id"], r["corpus_id"], r["jaccard"]) for r in got.collect()
     ) == expected
+
+
+def test_stream_incremental_neardup_restart_resume(spark, tmp_path):
+    """A second drain with the SAME checkpoint/out dirs after new files
+    land must process ONLY the new files (checkpoint skip) and leave no
+    duplicate pairs (batch-partitioned idempotent sink)."""
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    src_dir = tmp_path / "src"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def batch_df(ids):
+        return spark.createDataFrame(
+            [(100 + i, " ".join(f"w{i}x{j}" for j in range(10)) + " more")
+             for i in ids],
+            "doc_id bigint, text string",
+        )
+
+    def drain():
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        return streaming.stream_incremental_neardup(
+            src, corpus, out, ckpt, k=16, bands=4, threshold=0.3,
+        )
+
+    batch_df([0, 1]).coalesce(1).write.mode("append").parquet(str(src_dir))
+    first = {(r["new_id"], r["corpus_id"]) for r in drain().collect()}
+    assert first == {(100, 0), (101, 1)}
+
+    batch_df([2, 3]).coalesce(1).write.mode("append").parquet(str(src_dir))
+    second = [(r["new_id"], r["corpus_id"]) for r in drain().collect()]
+    assert sorted(second) == [(100, 0), (101, 1), (102, 2), (103, 3)]
+    assert len(second) == len(set(second))  # no replay duplicates
