@@ -24,6 +24,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--max-tokens", type=int, default=60)
+    ap.add_argument(
+        "--n-parts", type=int, default=128,
+        help="input partition count — a DATASET layout property, held "
+        "identical across parallelism levels; 4×cores of the largest "
+        "level by default (128 = 4 waves at 32 cores); finer grain "
+        "(e.g. 256) reduces last-wave straggler quantization",
+    )
     args = ap.parse_args()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -41,7 +48,7 @@ def main() -> None:
     # not of the cluster size under test — varying them with cpus would
     # confound the scaling measurement (different Arrow batch sizes, GC
     # profiles).  128/64 are sized for the largest level (local[32]).
-    N_PARTS = 128
+    N_PARTS = args.n_parts
     SHUFFLE_PARTS = 64
     spark = get_spark(
         "kgc-scale", master=f"local[{cpus}]", shuffle_partitions=SHUFFLE_PARTS
