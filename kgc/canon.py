@@ -213,8 +213,20 @@ def incremental_components(
     star = assignments.select(
         F.col("node").alias(src), F.col("component").alias(dst)
     )
-    return connected_components(
+    merged = connected_components(
         star.unionByName(new_edges.select(src, dst)), src=src, dst=dst, **kwargs
+    )
+    # Singleton preservation: a prior (n, n) assignment row is a self
+    # edge, which connected_components drops (u != v) — without this
+    # join an isolated node would vanish from the folded assignment and
+    # "exactly equals a full recompute" would not hold for it.
+    prior = assignments.select("node", F.col("component").alias("_prior"))
+    return (
+        prior.join(merged, "node", "full")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("_prior")).alias("component"),
+        )
     )
 
 

@@ -275,7 +275,8 @@ def entity_cocitation(
         .groupBy(F.col("x._d").alias("doc_a"), F.col("y._d").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
-    out._kgc_pinned = [de]  # released by kgc.pipeline.release
+    # forward upstream pins (same contract as pagerank / triangle_counts)
+    out._kgc_pinned = getattr(doc_entities, "_kgc_pinned", []) + [de]
     return out
 
 

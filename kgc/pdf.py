@@ -533,8 +533,12 @@ def _aes_cbc_decrypt(key: bytes, data: bytes, iv: bytes | None = None,
         prev = blk
     if unpad and out:
         n = out[-1]
-        if 1 <= n <= 16:
-            out = out[:-n]
+        # PKCS#7: all n pad bytes must equal n.  A block-aligned but
+        # corrupt stream must route to quarantine, not silently lose
+        # up to 16 bytes of tail text.
+        if not (1 <= n <= 16) or len(out) < n or any(b != n for b in out[-n:]):
+            raise PdfUnsupportedError("bad AES padding")
+        out = out[:-n]
     return bytes(out)
 
 

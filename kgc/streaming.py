@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.utils import AnalysisException
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -406,4 +407,11 @@ def stream_incremental_neardup(
         q.stop()
     for df in index:
         df.unpersist()
-    return spark.read.parquet(out_dir).select("new_id", "corpus_id", "jaccard")
+    try:
+        return spark.read.parquet(out_dir).select("new_id", "corpus_id", "jaccard")
+    except AnalysisException:
+        # zero micro-batches fired (empty source): no parquet exists to
+        # infer a schema from — return the empty frame explicitly.
+        return spark.createDataFrame(
+            [], "new_id bigint, corpus_id bigint, jaccard double"
+        )

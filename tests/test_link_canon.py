@@ -348,3 +348,23 @@ def test_incremental_components_equals_full_recompute(spark):
         assign, new, max_iter=8, small_graph_threshold=0
     )
     assert as_map(incr_dist) == got
+
+
+def test_incremental_components_preserves_singletons(spark):
+    """A prior (n, n) singleton assignment row must survive the fold:
+    its star edge is a self-loop that connected_components drops, so
+    incremental_components has to union it back (ADVICE r3)."""
+    from kgc.canon import incremental_components
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (42, 42)], "node bigint, component bigint"
+    )
+    new = spark.createDataFrame([(2, 3)], "src bigint, dst bigint")
+    got = {r["node"]: r["component"]
+           for r in incremental_components(assign, new, max_iter=8).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 42: 42}
+    # singleton later bridged: merged label wins over the prior one
+    new2 = spark.createDataFrame([(42, 1)], "src bigint, dst bigint")
+    got2 = {r["node"]: r["component"]
+            for r in incremental_components(assign, new2, max_iter=8).collect()}
+    assert got2[42] == 1 and got2[2] == 1

@@ -831,3 +831,26 @@ class TestPdfAes:
 
         with pytest.raises(PdfUnsupportedError, match="password-protected"):
             extract_pages(_aes_pdf(v=4, user_pw=b"secret"))
+
+    def test_aes_bad_padding_quarantines(self):
+        """A block-aligned but corrupt CBC stream must raise (→ quarantine),
+        not silently drop up to 16 bytes of tail text (ADVICE r3)."""
+        import pytest
+        from kgc.pdf import (PdfUnsupportedError, _aes_cbc_decrypt,
+                             _aes_expand_key, _aes_encrypt_block)
+
+        key = bytes(range(16))
+        iv = bytes(16)
+        # plaintext whose last byte is 3 but the two bytes before are not
+        # 3 — invalid PKCS#7 that the old range-only check stripped
+        pt = b"A" * 13 + b"\x01\x02\x03"
+        rks = _aes_expand_key(key)
+        ct = iv + _aes_encrypt_block(rks, bytes(a ^ b for a, b in zip(pt, iv)))
+        with pytest.raises(PdfUnsupportedError, match="bad AES padding"):
+            _aes_cbc_decrypt(key, ct)
+        # valid padding still round-trips
+        pt2 = b"B" * 12 + b"\x04\x04\x04\x04"
+        ct2 = iv + _aes_encrypt_block(rks, bytes(a ^ b for a, b in zip(pt2, iv)))
+        assert _aes_cbc_decrypt(key, ct2) == b"B" * 12
+        # unpad=False path unchanged
+        assert _aes_cbc_decrypt(key, ct, unpad=False) == pt

@@ -300,6 +300,27 @@ def test_stream_incremental_neardup_equals_batch(spark, tmp_path):
     ) == expected
 
 
+def test_stream_incremental_neardup_empty_source(spark, tmp_path):
+    """Zero micro-batches (empty source dir) must return an empty
+    (new_id, corpus_id, jaccard) frame, not raise on schema inference
+    over a nonexistent output (ADVICE r3)."""
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text here")], "doc_id bigint, text string"
+    )
+    src_dir = tmp_path / "empty_src"
+    src_dir.mkdir()
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(src_dir))
+    )
+    got = streaming.stream_incremental_neardup(
+        src, corpus, str(tmp_path / "empty_out"),
+        str(tmp_path / "empty_ckpt"), k=16, bands=4, threshold=0.3,
+    )
+    assert got.columns == ["new_id", "corpus_id", "jaccard"]
+    assert got.count() == 0
+
+
 def test_stream_incremental_neardup_restart_resume(spark, tmp_path):
     """A second drain with the SAME checkpoint/out dirs after new files
     land must process ONLY the new files (checkpoint skip) and leave no
