@@ -108,15 +108,89 @@ def scan_text_py(
     return out
 
 
+def build_alias_trie(aliases: list[str]) -> list:
+    """Token-level trie over the alias dictionary.
+
+    Node = ``[accept, children]`` where ``accept`` is the normalized
+    alias string if a dictionary key ends here (else None) and
+    ``children`` maps next-token → child node.  Precompiled once in the
+    UDF closure; the scan walks it incrementally instead of hashing a
+    fresh token-tuple per candidate length (the round-3 verdict's
+    "hottest Python loop on the 100 TB KG path").
+    """
+    root: list = [None, {}]
+    for a in aliases:
+        toks = tuple(norm_tokens_py(a))
+        if not toks:
+            continue
+        node = root
+        for t in toks:
+            node = node[1].setdefault(t, [None, {}])
+        node[0] = " ".join(toks)
+    return root
+
+
+def scan_text_trie(text: str, root: list) -> list[dict]:
+    """Leftmost-longest non-overlapping scan via a precompiled trie.
+
+    Semantically identical to :func:`scan_text_py` (pinned by
+    tests/test_mentions twin equivalence): the longest dictionary key
+    starting at token i is the deepest accepting node on the trie walk
+    from i, and a position whose token is not a root child can never
+    start a match — one dict miss replaces max_n tuple constructions.
+    """
+    if not text:
+        return []
+    finditer = _TOKEN_RE.finditer
+    toks = [(m.group(0), m.start(), m.end()) for m in finditer(text)]
+    low = [t[0].lower() for t in toks]
+    out: list[dict] = []
+    i = 0
+    n = len(toks)
+    root_children = root[1]
+    while i < n:
+        node = root_children.get(low[i])
+        if node is None:
+            i += 1
+            continue
+        best_alias = node[0]
+        best_ln = 1
+        j = i + 1
+        while j < n:
+            node = node[1].get(low[j])
+            if node is None:
+                break
+            j += 1
+            if node[0] is not None:
+                best_alias = node[0]
+                best_ln = j - i
+        if best_alias is None:
+            i += 1
+            continue
+        begin, end = toks[i][1], toks[i + best_ln - 1][2]
+        out.append(
+            {
+                "alias": best_alias,
+                "surface": text[begin:end],
+                "begin": begin,
+                "end": end,
+                "tok_begin": i,
+                "n_toks": best_ln,
+            }
+        )
+        i += best_ln
+    return out
+
+
 def make_mention_udf(aliases: list[str]):
     """Arrow-batched scanner; dictionary rides the closure (broadcast by
     task serialization — at cluster scale wrap in sc.broadcast and read
     ``bc.value`` inside, identical semantics)."""
-    index, max_n = build_alias_index(aliases)
+    root = build_alias_trie(aliases)
 
     @F.pandas_udf(MENTION_TYPE)
     def scan(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: scan_text_py(t, index, max_n))
+        return texts.map(lambda t: scan_text_trie(t, root))
 
     return scan
 

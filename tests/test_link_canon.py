@@ -34,6 +34,50 @@ def test_scan_offsets_punctuation():
     assert text[h["begin"] : h["end"]] == "CODE CIVIL"
 
 
+def test_trie_scan_equals_naive_scan():
+    """scan_text_trie (the UDF's precompiled-automaton path, r4) must be
+    hit-for-hit identical to scan_text_py (the golden twin) — including
+    offsets, surfaces, and the leftmost-longest non-overlap rule."""
+    from kgc.mentions import build_alias_trie, scan_text_trie
+    from kgc import synth
+
+    aliases = [a for a, *_ in synth.ALIASES] + [
+        "cour", "cour de", "cour de cassation", "de cassation",
+        "a b c d e", "a b", "b c d",
+    ]
+    index, max_n = build_alias_index(aliases)
+    root = build_alias_trie(aliases)
+    texts = [
+        "",
+        "nothing matches here at all",
+        "La Cour de cassation siège à Paris, pas la cassation locale.",
+        "cour de cassation cour de cour",
+        "a b c d e a b c d a b b c d",
+        "a b c d",            # prefix of a 5-gram key, accepts at 2 and stops
+        "Cour de CASSATION!",  # case + trailing punct
+        "word cour",           # match at end of text
+        "cour",                # single-token text, single-token alias
+        "de de de cour de de", # partial walks that never accept
+    ]
+    try:
+        from hypothesis import given, settings, strategies as st
+
+        vocab = ["cour", "de", "cassation", "a", "b", "c", "d", "e",
+                 "paris", "x", "la"]
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), max_size=30))
+        def prop(words):
+            t = " ".join(words)
+            assert scan_text_trie(t, root) == scan_text_py(t, index, max_n)
+
+        prop()
+    except ImportError:
+        pass
+    for t in texts:
+        assert scan_text_trie(t, root) == scan_text_py(t, index, max_n), t
+
+
 def test_detect_mentions_spark_matches_python(spark):
     docs = synth.generate_documents(spark, n_docs=40)
     segs = (
