@@ -35,39 +35,80 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
+    steal: dict[str, list[float]] = {}
+    controls: list[dict] = []
     n_triples = 0
 
+    def read_stat() -> tuple[int, int]:
+        """(total_jiffies, steal_jiffies) from the aggregate cpu line."""
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        except OSError:
+            return 0, 0
+
+    def timed_pass(df) -> tuple[float, float]:
+        """One noop-sink execution → (wall sec, co-tenant steal %)."""
+        tot0, st0 = read_stat()
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        tot1, st1 = read_stat()
+        pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
+        return dt, round(pct, 2)
+
+    # Fixed control job: a ~1-second-class pure-CPU md5 scan whose plan
+    # never changes.  Its wall time, interleaved through the run, IS the
+    # artifact's own noise floor — a slow query pass next to a slow
+    # control pass (or a high steal %) is the neighbor, not the plan
+    # (VERDICT r3 "What's wrong" #1: make the bench self-evidencing).
+    from pyspark.sql import functions as F
+
+    control_df = spark.range(0, 24_000_000, 1, numPartitions=cpus * 2).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    # one untimed execution: absorb the one-time Janino codegen compile
+    # so recorded control passes measure the window, not the warmup
+    control_df.write.format("noop").mode("overwrite").save()
+
+    def run_control(after: str) -> None:
+        dt, pct = timed_pass(control_df)
+        controls.append(
+            {"after": after, "sec": round(dt, 3), "steal_pct": pct}
+        )
+
+    # N timed passes per query (default 4, SPARK_GRAFT_BENCH_PASSES), report the MIN.  This sandbox VM
+    # sees multi-minute co-tenant windows where EVERYTHING runs 20-60x
+    # slow (the fixed control job has been measured 0.5s → 30s inside
+    # one, with near-zero /proc/stat steal — the neighbor is inside the
+    # VM, not the hypervisor).  Three back-to-back passes of one query
+    # can all land inside a single window (round-4 diagnosis of the
+    # r3 pipeline_triples 1.87x "regression"), so passes are
+    # interleaved ACROSS queries: pass A of every query, then pass B,
+    # then pass C — each query is sampled at three well-separated
+    # times and min-of-3 measures the plan, not the neighbor.  Every
+    # pass + its steal share is recorded, with the control threaded
+    # through, so the artifact shows WHICH passes were noisy.
+    #
+    # Plans are built ONCE and reused across passes: per-pass plan
+    # rebuilds add 10-20s of Janino codegen compile (new expr IDs =
+    # cache miss) that is one-time work at scale, not per-query cost
+    # (same rule as scripts/scaling.py).  clearCache between passes
+    # drops operator-internal persists so every pass re-executes the
+    # full dataflow.  (Engine-side nondeterminism — the r1 JIT
+    # code-cache thrash — is fixed separately: lanes-as-data operators
+    # + 2g reserved code cache; see kgc/session.py.)
+    #
+    # Timed action = noop-sink write, NOT count(): count() lets
+    # Catalyst prune every column a projection-only query computes
+    # (langid "ran" in 0.07s while never evaluating the language
+    # detector); the noop sink materializes every output column.
+    jobs: list[tuple[str, object]] = []
+
     def run(name: str, fn) -> None:
-        nonlocal n_triples
-        # Three timed passes, report the MIN.  This sandbox VM sees bursty
-        # CPU steal from co-tenants (measured via /proc/stat steal);
-        # a single pass that lands in a steal window reads 5-20x slow
-        # for reasons unrelated to the engine.  Min-of-2 measures the
-        # plan, not the neighbor.  (Engine-side nondeterminism — the r1
-        # JIT code-cache thrash — is fixed separately: lanes-as-data
-        # operators + 2g reserved code cache; see kgc/session.py.)
-        # Build the plan ONCE, execute thrice, report the MIN: per-pass
-        # plan rebuilds add 10-20s of Janino codegen compile (new expr
-        # IDs = cache miss) that is one-time work at scale, not
-        # per-query cost (same rule as scripts/scaling.py).  clearCache
-        # between passes drops operator-internal persists so pass 2
-        # re-executes the full dataflow.
-        #
-        # Timed action = noop-sink write, NOT count(): count() lets
-        # Catalyst prune every column a projection-only query computes
-        # (langid "ran" in 0.07s while never evaluating the language
-        # detector); the noop sink materializes every output column.
-        df = fn(spark, sf_dir)
-        best = None
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        if name == "pipeline_triples":
-            n_triples = df.count()
+        jobs.append((name, fn(spark, sf_dir)))
 
     run("pipeline_triples", em.q_pipeline_triples)
     run("pipeline_interleaved", em.q_pipeline_interleaved)
@@ -113,7 +154,24 @@ def main() -> None:
     # during plan build, like pagerank_entities) — excluded for the
     # same reason pagerank is.
 
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
+    run_control("start")
+    for pass_i in range(n_passes):
+        for i, (name, df) in enumerate(jobs):
+            spark.catalog.clearCache()
+            dt, pct = timed_pass(df)
+            passes.setdefault(name, []).append(round(dt, 3))
+            steal.setdefault(name, []).append(pct)
+            if i % 6 == 5:
+                run_control(f"p{pass_i}:{name}")
+        run_control(f"end-of-pass-{pass_i}")
+    timings.update({name: min(p) for name, p in passes.items()})
+    for name, df in jobs:
+        if name == "pipeline_triples":
+            n_triples = df.count()
+
     total = round(sum(timings.values()), 3)
+    ctl_secs = [c["sec"] for c in controls]
     out = {
         "metric": "kgc_headline_total",
         "value": total,
@@ -125,6 +183,14 @@ def main() -> None:
         "triples_per_sec": round(n_triples / timings["pipeline_triples"], 2)
         if timings.get("pipeline_triples")
         else None,
+        # self-evidence (VERDICT r3): every pass + its co-tenant steal
+        # share, and a fixed control job's trace through the window.
+        # control_spread >> 1 or steal spikes = hot window, not plans.
+        "passes": passes,
+        "pass_steal_pct": steal,
+        "control": controls,
+        "control_min": min(ctl_secs),
+        "control_max": max(ctl_secs),
     }
     print(json.dumps(out))
 

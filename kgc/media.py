@@ -6,20 +6,28 @@ The interleaved corpus (input_hint) carries media spans as
 decode / feature-extract / frame-sample operators, and the join back to
 document spans.
 
-The actual byte decoding (image/audio libs) is NOT available in this
-container, so the decode step is STUBBED two ways:
+Decode modes:
   * mode='fake'   — deterministic md5-derived features (real schema,
     real batching, real partitioning; values are a stable fake)
-  * mode='strict' — raises NotImplementedError with the dependency
-    name, exactly where pillow/librosa would be called on a cluster.
+  * mode='strict' — REAL stdlib decode for WAV (RIFF/PCM via ``wave``)
+    and PNG (chunk parse + zlib inflate + per-scanline defilter, same
+    from-scratch spirit as kgc/pdf.py).  Formats that genuinely need
+    third-party codecs (JPEG, MP3, MP4, …) set a per-item ``error``
+    instead of crashing the stage — ``media_quarantine`` splits them
+    off, mirroring the document pipeline's poison routing (C5).
 
-Everything around the stub — schema, mapInPandas batch shape,
-partition-by-media-kind routing, span join — is real and tested.
+Everything around decode — schema, mapInPandas batch shape,
+partition-by-media-kind routing, span join — is identical in both
+modes and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,8 +53,201 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("features", T.ArrayType(T.FloatType())),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # strict-mode extras — null in fake mode and for images, so the
+        # fake-mode oracle queries (q_media_triples) are unaffected
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration", T.DoubleType()),
+        T.StructField("error", T.StringType()),
     ]
 )
+
+
+class MediaDecodeError(ValueError):
+    """Payload is not decodable with the stdlib decoders (corrupt, or a
+    format that needs a third-party codec).  Routed to quarantine by
+    ``media_quarantine``, never raised out of the Spark stage."""
+
+
+# ------------------------------------------------------ stdlib decoders ---
+def decode_wav_py(payload: bytes) -> dict:
+    """RIFF/WAVE PCM decode via the stdlib ``wave`` module.
+
+    Returns sample_rate / n_frames / duration plus an 8-dim feature
+    vector over the (first-channel, 16- or 8-bit) PCM samples:
+    [mean_abs, rms, peak, zero_cross_rate, e_q1..e_q4] where e_qi is
+    the RMS of the i-th time quarter — all normalized to [0, 1].
+    """
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise MediaDecodeError(f"bad WAV: {e}") from e
+    if width == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)[::n_ch]
+        scale = 32768.0
+    elif width == 1:  # unsigned 8-bit
+        samples = [b - 128 for b in raw[::n_ch]]
+        scale = 128.0
+    else:
+        raise MediaDecodeError(f"unsupported WAV sample width {width}")
+    n = len(samples)
+    if n == 0:
+        feats = [0.0] * FEATURE_DIM
+    else:
+        mean_abs = sum(abs(s) for s in samples) / n / scale
+        rms = (sum(s * s for s in samples) / n) ** 0.5 / scale
+        peak = max(abs(s) for s in samples) / scale
+        zc = sum(
+            1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+        ) / max(n - 1, 1)
+        qs = []
+        for i in range(4):
+            seg = samples[i * n // 4 : (i + 1) * n // 4] or [0]
+            qs.append((sum(s * s for s in seg) / len(seg)) ** 0.5 / scale)
+        feats = [mean_abs, rms, peak, zc, *qs]
+    return {
+        "features": [round(f, 6) for f in feats],
+        "width": None,
+        "height": None,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration": round(n_frames / rate, 6) if rate else 0.0,
+    }
+
+
+def _png_defilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth)."""
+    stride = width * bpp
+    out = bytearray()
+    pos = 0
+    prev = bytearray(stride)
+    for _ in range(height):
+        if pos >= len(raw):
+            raise MediaDecodeError("PNG: truncated image data")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) < stride:
+            raise MediaDecodeError("PNG: short scanline")
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise MediaDecodeError(f"PNG: unknown filter type {ftype}")
+        out += line
+        prev = line
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def decode_png_py(payload: bytes) -> dict:
+    """From-scratch PNG decode: chunk walk → IHDR dims → zlib-inflated,
+    defiltered 8-bit pixels (gray/RGB/gray+A/RGBA).
+
+    Features: [mean_c0, mean_c1, mean_c2, mean_all, std_all, min, max,
+    mean |horizontal gradient|], all scaled to [0, 1].
+    """
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise MediaDecodeError("PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if interlace:
+                raise MediaDecodeError("PNG: Adam7 interlace unsupported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise MediaDecodeError("PNG: missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise MediaDecodeError(
+            f"PNG: unsupported depth/color {bit_depth}/{color_type}"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"PNG: bad IDAT: {e}") from e
+    bpp = _PNG_CHANNELS[color_type]
+    px = _png_defilter(raw, width, height, bpp)
+    n = len(px)
+    means = []
+    for c in range(3):
+        ch = px[c % bpp :: bpp]
+        means.append(sum(ch) / len(ch) / 255.0 if ch else 0.0)
+    mean_all = sum(px) / n / 255.0 if n else 0.0
+    var = sum((b / 255.0 - mean_all) ** 2 for b in px) / n if n else 0.0
+    grad = (
+        sum(abs(px[i] - px[i - bpp]) for i in range(bpp, n)) / max(n - bpp, 1) / 255.0
+    )
+    feats = [
+        *means, mean_all, var ** 0.5,
+        (min(px) / 255.0) if n else 0.0,
+        (max(px) / 255.0) if n else 0.0,
+        grad,
+    ]
+    return {
+        "features": [round(f, 6) for f in feats],
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "n_frames": None,
+        "duration": None,
+    }
+
+
+def decode_payload_py(payload: bytes) -> dict:
+    """Magic-byte dispatch to the stdlib decoders.
+
+    Third-party-codec formats are recognized and named in the error so
+    quarantine rows say exactly which cluster-image dependency would
+    handle them (the round-3 strict mode raised NotImplementedError
+    here for everything)."""
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_py(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return decode_wav_py(p)
+    if p[:3] == b"\xff\xd8\xff":
+        raise MediaDecodeError("JPEG requires pillow on the cluster image")
+    if p[:3] == b"ID3" or p[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        raise MediaDecodeError("MP3 requires librosa/pyav on the cluster image")
+    if p[4:8] == b"ftyp":
+        raise MediaDecodeError("MP4 requires pyav on the cluster image")
+    raise MediaDecodeError("unrecognized media payload")
 
 
 def media_table_from_spans(docs: DataFrame) -> DataFrame:
@@ -82,17 +283,37 @@ def _fake_features(payload: bytes) -> list[float]:
 def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode + feature-extract as an Arrow-batched mapInPandas stage.
 
-    mode='strict' raises where the real decoder would run — pillow for
-    images, librosa for audio, pyav for video (none ship here)."""
+    mode='strict' runs the REAL stdlib decoders (WAV via ``wave``, PNG
+    via zlib+defilter); a payload they can't handle yields a row whose
+    ``error`` names the missing codec — filter with
+    :func:`media_quarantine` — so one poison payload never kills the
+    stage (same posture as the document pipeline's C5 routing)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = {"sample_rate": None, "n_frames": None, "duration": None}
         for pdf in batches:
             if mode == "strict":
-                raise NotImplementedError(
-                    "media decode requires pillow/librosa/pyav; "
-                    "this container ships none — run with mode='fake' "
-                    "or install decoders on the cluster image"
+                rows = []
+                for ref, kind, payload in zip(
+                    pdf["media_ref"], pdf["kind"], pdf["payload"]
+                ):
+                    try:
+                        d = decode_payload_py(payload)
+                        rows.append(
+                            {"media_ref": ref, "kind": kind, **d, "error": None}
+                        )
+                    except MediaDecodeError as e:
+                        rows.append(
+                            {
+                                "media_ref": ref, "kind": kind,
+                                "features": None, "width": None,
+                                "height": None, **nulls, "error": str(e),
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
                 )
+                continue
             feats = pdf["payload"].map(_fake_features)
             # fake decode also yields fake dimensions (stable per ref)
             dims = pdf["payload"].map(
@@ -108,10 +329,24 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                     "features": feats,
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "duration": None,
+                    "error": None,
                 }
             )
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def media_quarantine(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows, quarantined rows) — split on the decode error column."""
+    return (
+        features.filter(F.col("error").isNull()),
+        features.filter(F.col("error").isNotNull()).select(
+            "media_ref", "kind", "error"
+        ),
+    )
 
 
 FRAMES_SCHEMA = T.StructType(
@@ -144,22 +379,31 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def media_triples(features: DataFrame) -> DataFrame:
-    """Media features → KG triples: (media:<ref>, @type/kind/dims)."""
+    """Media features → KG triples: (media:<ref>, @type/kind/dims, and —
+    strict-mode audio — sampleRate/duration).  Null-valued attributes
+    emit no triple, so image rows carry no audio predicates and vice
+    versa (and fake mode, where the audio fields are always null, emits
+    exactly the round-2 set — the q_media_triples oracle is unchanged)."""
     subj = F.concat(F.lit("media:"), F.col("media_ref"))
     rows = [
         features.select(
             subj.alias("subj"), F.lit("@type").alias("pred"),
             F.initcap(F.col("kind")).alias("obj"), F.lit("literal").alias("obj_type"),
         ),
-        features.select(
-            subj.alias("subj"), F.lit("width").alias("pred"),
-            F.col("width").cast("string").alias("obj"), F.lit("literal").alias("obj_type"),
-        ),
-        features.select(
-            subj.alias("subj"), F.lit("height").alias("pred"),
-            F.col("height").cast("string").alias("obj"), F.lit("literal").alias("obj_type"),
-        ),
     ]
+    attr_cols = ["width", "height"]
+    if "sample_rate" in features.columns:
+        attr_cols += ["sample_rate", "duration"]
+    pred_names = {"sample_rate": "sampleRate"}
+    for c in attr_cols:
+        rows.append(
+            features.filter(F.col(c).isNotNull()).select(
+                subj.alias("subj"),
+                F.lit(pred_names.get(c, c)).alias("pred"),
+                F.col(c).cast("string").alias("obj"),
+                F.lit("literal").alias("obj_type"),
+            )
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

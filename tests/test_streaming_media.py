@@ -206,16 +206,140 @@ def test_media_pipeline(spark):
     # determinism
     f2 = media.decode_media(m, mode="fake")
     assert feats.exceptAll(f2).count() == 0
-    # strict mode raises at the decode boundary
-    with pytest.raises(Exception) as exc:
-        media.decode_media(m, mode="strict").collect()
-    assert "NotImplementedError" in str(exc.value) or "decode requires" in str(exc.value)
+    # strict mode over the synthetic md5-string payloads: nothing is a
+    # real WAV/PNG, so every row must route to quarantine (not crash)
+    clean, bad = media.media_quarantine(media.decode_media(m, mode="strict"))
+    assert clean.count() == 0
+    assert bad.count() == len(rows)
+    assert all("unrecognized" in r["error"] for r in bad.collect())
     # frame sampling fans out 1:N
     frames = media.frame_sample(m.limit(5), n_frames=3)
     assert frames.count() == 15
     # triples
     t = media.media_triples(feats)
     assert t.filter(F.col("pred") == "@type").count() == len(rows)
+
+
+def _wav_bytes(freq=440.0, rate=8000, n=2000, amp=0.5, channels=1, width=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            frames = b"".join(
+                struct.pack(
+                    "<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+                ) * channels
+                for i in range(n)
+            )
+        else:
+            frames = bytes([128] * channels) * n
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _png_bytes(w_, h_, pixel_bytes, color_type=2):
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+
+    def chunk(t, data):
+        return (
+            struct.pack(">I", len(data)) + t + data
+            + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w_, h_, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        bytes([0]) + bytes(pixel_bytes[y * w_ * bpp : (y + 1) * w_ * bpp])
+        for y in range(h_)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decoders_pure_python():
+    """Stdlib decoders (r4, VERDICT task 6): WAV params + PCM features,
+    PNG dims + defiltered pixel stats, filter types 1-4, magic dispatch."""
+    import struct
+    import zlib
+
+    from kgc.media import (MediaDecodeError, decode_payload_py,
+                           decode_png_py, decode_wav_py)
+
+    d = decode_wav_py(_wav_bytes())
+    assert (d["sample_rate"], d["n_frames"], d["duration"]) == (8000, 2000, 0.25)
+    assert 0.49 < d["features"][2] <= 0.51        # peak ≈ amplitude
+    assert 0.33 < d["features"][1] < 0.37         # rms ≈ amp/√2
+    d8 = decode_wav_py(_wav_bytes(rate=4000, n=100, channels=2, width=1))
+    assert (d8["sample_rate"], d8["n_frames"]) == (4000, 100)
+
+    px = list(range(36))
+    d2 = decode_png_py(_png_bytes(4, 3, px))
+    assert (d2["width"], d2["height"]) == (4, 3)
+    assert abs(d2["features"][3] - sum(px) / 36 / 255) < 1e-5
+
+    # every filter type decodes (2x2 gray: None, Sub / Up, Paeth)
+    def chunk(t, data):
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([1, 7, 2]) + bytes([4, 10, 0])    # [7,9] then Paeth row
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    d3 = decode_png_py(png)
+    # row1 Sub: [7, 9]; row2 Paeth: a/b/c predictors → [11, 20]
+    assert abs(d3["features"][3] - (7 + 9 + 11 + 20) / 4 / 255) < 1e-5
+
+    for bad, msg in [
+        (b"\xff\xd8\xffrest", "pillow"),
+        (b"ID3abc", "librosa"),
+        (b"xxxxftypmp42", "pyav"),
+        (b"garbage", "unrecognized"),
+        (b"RIFFxxxxWAVEtrunc", "bad WAV"),
+    ]:
+        with pytest.raises(MediaDecodeError, match=msg):
+            decode_payload_py(bad)
+
+
+def test_strict_decode_spark(spark):
+    """Strict mode through the mapInPandas stage: real WAV + PNG decode
+    per row, poison payload quarantined, audio triples emitted."""
+    rows = [
+        ("m:wav", "audio", _wav_bytes(), None),
+        ("m:png", "image", _png_bytes(4, 3, list(range(36))), None),
+        ("m:jpg", "image", b"\xff\xd8\xff\xe0JFIF-ish", None),
+    ]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    feats = media.decode_media(df, mode="strict")
+    clean, bad = media.media_quarantine(feats)
+    by_ref = {r["media_ref"]: r for r in clean.collect()}
+    assert set(by_ref) == {"m:wav", "m:png"}
+    assert by_ref["m:wav"]["sample_rate"] == 8000
+    assert by_ref["m:wav"]["duration"] == 0.25
+    assert by_ref["m:wav"]["width"] is None
+    assert (by_ref["m:png"]["width"], by_ref["m:png"]["height"]) == (4, 3)
+    assert by_ref["m:png"]["sample_rate"] is None
+    (q,) = bad.collect()
+    assert q["media_ref"] == "m:jpg" and "pillow" in q["error"]
+    # triples: audio rows get sampleRate/duration, image rows get dims
+    t = media.media_triples(clean)
+    preds = {(r["subj"], r["pred"]): r["obj"] for r in t.collect()}
+    assert preds[("media:m:wav", "sampleRate")] == "8000"
+    assert preds[("media:m:wav", "duration")] == "0.25"
+    assert preds[("media:m:png", "width")] == "4"
+    assert ("media:m:png", "sampleRate") not in preds
 
 
 def test_stream_exact_dedup_first_per_key(spark, events_dir):
