@@ -299,8 +299,8 @@ def test_decoders_pure_python():
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     d3 = decode_png_py(png)
-    # row1 Sub: [7, 9]; row2 Paeth: a/b/c predictors → [11, 20]
-    assert abs(d3["features"][3] - (7 + 9 + 11 + 20) / 4 / 255) < 1e-5
+    # row1 Sub: [7, 9]; row2 Paeth: px0 pr=b(7)→17, px1 pr=a(17)→17
+    assert abs(d3["features"][3] - (7 + 9 + 17 + 17) / 4 / 255) < 1e-5
 
     for bad, msg in [
         (b"\xff\xd8\xffrest", "pillow"),
