@@ -170,6 +170,44 @@ def main() -> None:
         if name == "pipeline_triples":
             n_triples = df.count()
 
+    # --- skewed-graph CC leg (VERDICT r3 task 8): the salting claim
+    # gets a number.  connected_components is driver-iterative (eager
+    # localCheckpoint per star round), so each pass times the FULL call
+    # — graph build through final assignment — not a prebuilt plan.
+    # The graph is a deterministic hot-hub power-law synthetic
+    # (~850k edges): one mega-hub (node 0, 200k neighbors — the distribution
+    # that melts an unsalted per-key min), 50 heavy-tail hubs with 4k
+    # neighbors each, and a hash ring stitching the id space into a few
+    # giant components (~850k edges).  small_graph_threshold=0 forces the distributed
+    # star-contraction + salted-min path (kgc/canon.py:46-98).
+    from kgc.canon import connected_components
+
+    hub = spark.range(200_000).select(
+        F.lit(0).cast("bigint").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    tails = spark.range(200_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(50)) + 1).alias("src"),
+        (F.col("id") + 250_000).alias("dst"),
+    )
+    ring = spark.range(450_000).select(
+        (F.col("id") + 1).alias("src"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(650_000)) + 1).alias("dst"),
+    )
+    cc_edges = hub.unionByName(tails).unionByName(ring)
+    for _ in range(2):
+        tot0, st0 = read_stat()
+        t0 = time.time()
+        cc = connected_components(cc_edges, small_graph_threshold=0)
+        cc.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        tot1, st1 = read_stat()
+        passes.setdefault("cc_skewed", []).append(round(dt, 3))
+        steal.setdefault("cc_skewed", []).append(
+            round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
+        )
+    timings["cc_skewed"] = min(passes["cc_skewed"])
+    run_control("cc_skewed")
+
     total = round(sum(timings.values()), 3)
     ctl_secs = [c["sec"] for c in controls]
     out = {

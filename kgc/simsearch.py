@@ -304,6 +304,42 @@ def _assign(corpus: DataFrame, cdf: DataFrame, c_id: str, c_vec: str) -> DataFra
     )
 
 
+def _check_cell_balance(
+    assigned: DataFrame, n_cells: int, factor: float, op: str
+) -> None:
+    """Enforce the 'grow n_centroids ∝ corpus' contract (VERDICT r3 #7).
+
+    The in-cell work of SemDeDup is O(cell²); the documented knob only
+    bounds it if someone actually turns it.  This makes the contract
+    fail LOUDLY: if the largest cell exceeds ``factor ×`` the mean cell
+    size (mean over the CONFIGURED cell count, so a total collapse
+    into one cell — e.g. duplicate-heavy or all-identical embeddings —
+    is caught even though only one cell is nonempty), raise instead of
+    going quadratic silently.  Cost: one count-aggregate over the
+    already-persisted assignment (which also warms the persist before
+    the self-join).
+    """
+    row = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .first()
+    )
+    if row["mx"] is None:
+        return
+    mean = row["total"] / max(n_cells, 1)
+    bound = max(factor * mean, 64.0)
+    if row["mx"] > bound:
+        raise ValueError(
+            f"{op}: largest k-means cell holds {row['mx']} vectors vs a "
+            f"mean of {mean:.1f} over {n_cells} configured cells "
+            f"(> {factor}x bound {bound:.0f}) — in-cell cost is "
+            f"quadratic; grow n_centroids with the corpus or re-train "
+            f"centroids (degenerate/duplicate-heavy embeddings collapse "
+            f"cells)"
+        )
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -364,6 +400,7 @@ def semantic_dedup(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     tau: float = 0.95,
+    max_cell_factor: float | None = 16.0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
     the embedding space, then within each cluster drop every vector
@@ -379,9 +416,12 @@ def semantic_dedup(
     as broadcast DATA, assignment is one window argmax, and nothing
     pairwise ever leaves a cell; cell population is bounded by growing
     n_centroids ∝ corpus size (cluster count is the knob, per-cell
-    cost stays constant).  Cosines are rounded to 6 dp before the
-    threshold so the verdict is stable across partial-agg orders (and
-    replayable by the DuckDB oracle).
+    cost stays constant).  That contract is ENFORCED, not advisory:
+    if the largest cell exceeds ``max_cell_factor ×`` the mean cell
+    size, the call raises before the quadratic self-join is planned
+    (pass ``max_cell_factor=None`` to opt out).  Cosines are rounded
+    to 6 dp before the threshold so the verdict is stable across
+    partial-agg orders (and replayable by the DuckDB oracle).
     """
     spark = corpus.sparkSession
     cdf = F.broadcast(
@@ -408,6 +448,13 @@ def semantic_dedup(
         )
         .persist()
     )
+    if max_cell_factor is not None:
+        try:
+            _check_cell_balance(assigned, len(centroids), max_cell_factor,
+                                "semantic_dedup")
+        except ValueError:
+            assigned.unpersist()
+            raise
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
         F.zip_with(

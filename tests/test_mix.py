@@ -291,6 +291,29 @@ def test_semantic_dedup_drops_copies_keeps_min_id(spark):
     assert got == {0: True, 1: True, 2: True, 3: True, 100: False, 101: False}
 
 
+def test_semantic_dedup_cell_balance_guard(spark):
+    """The 'grow n_centroids ∝ corpus' contract must fail loudly
+    (VERDICT r3 #7): a degenerate all-identical corpus collapses every
+    vector into one k-means cell, and the in-cell pair scan would go
+    quadratic — semantic_dedup raises instead."""
+    import pytest
+
+    from kgc.simsearch import semantic_dedup, train_centroids
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = train_centroids(corpus, n_centroids=8, iters=1)
+    with pytest.raises(ValueError, match="largest k-means cell"):
+        semantic_dedup(corpus, cents, max_cell_factor=4.0)
+    # opt-out still runs (and keeps exactly the min id)
+    got = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(corpus, cents,
+                                   max_cell_factor=None).collect()}
+    assert got[0] is True and sum(got.values()) == 1
+
+
 def test_incremental_duplicated_ngrams_probes_corpus_only(spark):
     from kgc.dedup import incremental_duplicated_ngrams
 
