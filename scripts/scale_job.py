@@ -90,19 +90,55 @@ def main() -> None:
     one_pass()
     runs = sorted([one_pass() for _ in range(n_passes)], key=lambda r: r[1])
     n_triples, elapsed = runs[0]
-    print(
-        json.dumps(
-            {
-                "cpus": cpus,
-                "n_docs": args.n_docs,
-                "n_triples": n_triples,
-                "elapsed_sec": round(elapsed, 2),
-                "triples_per_sec": round(n_triples / elapsed, 1),
-                "docs_per_sec": round(args.n_docs / elapsed, 1),
-                "all_runs_sec": [round(t, 2) for _, t in runs],
-            }
+    out = {
+        "cpus": cpus,
+        "n_docs": args.n_docs,
+        "n_triples": n_triples,
+        "elapsed_sec": round(elapsed, 2),
+        "triples_per_sec": round(n_triples / elapsed, 1),
+        "docs_per_sec": round(args.n_docs / elapsed, 1),
+        "all_runs_sec": [round(t, 2) for _, t in runs],
+    }
+
+    # Per-leg attribution controls (VERDICT r3 task 2): run INSIDE the
+    # same pinned session so each scaling leg carries its own evidence.
+    #   control_cpu — pure-ALU md5 chain over spark.range: zero memory
+    #     traffic beyond codegen loops.  If ITS 8→32 efficiency is ~1,
+    #     the window was quiet and the scheduler fans out cleanly; if
+    #     the JOB then scales worse, the gap is the job's (shuffle,
+    #     Python workers), not the machine's.
+    #   control_bw — streaming sum over a localCheckpointed 150M-long
+    #     column (~2.4 GB resident as UnsafeRows; sized to cache FULLY —
+    #     at 400M the storage pool overflowed and partitions silently
+    #     recomputed): trivially vectorized, so wall time is
+    #     memory-bus-bound.  Its 8→32 efficiency measures the shared
+    #     single-box bandwidth ceiling that a real 4×-executor cluster
+    #     (per-node buses) does not have — the structural residual.
+    if os.environ.get("SPARK_GRAFT_SCALE_CONTROLS") == "1":
+        cpu_df = spark.range(0, 24_000_000, 1, numPartitions=N_PARTS).select(
+            F.md5(F.col("id").cast("string")).alias("h")
         )
-    )
+        bw_df = spark.range(0, 150_000_000, 1, numPartitions=N_PARTS).select(
+            F.col("id").alias("x")
+        ).localCheckpoint(eager=True)
+
+        def timed_min(df, agg, reps=2):
+            df.agg(agg).collect()  # warmup (one-time codegen)
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                df.agg(agg).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        out["control_cpu_sec"] = timed_min(
+            cpu_df, F.bit_xor(F.xxhash64("h")).alias("x")
+        )
+        out["control_bw_sec"] = timed_min(bw_df, F.sum("x").alias("s"))
+        out["control_bw_gb"] = 2.4  # ~16 B/row × 150M resident UnsafeRows
+        bw_df.unpersist()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -38,11 +38,12 @@ def run_bench(cpus: int, sf: str) -> dict:
     return json.loads(line)
 
 
-def run_synth(cpus: int, n_docs: int, passes: int = 3) -> dict:
+def run_synth(cpus: int, n_docs: int, passes: int = 3, controls: bool = False) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SCALE_PASSES=str(passes),
+        SPARK_GRAFT_SCALE_CONTROLS="1" if controls else "0",
     )
     cmd = [sys.executable, os.path.join(REPO, "scripts", "scale_job.py"),
            "--n-docs", str(n_docs)]
@@ -76,13 +77,20 @@ def main() -> None:
         help=">1: interleaved A/B/A/B protocol (synth mode only) — "
         "alternate small/big legs, MIN per leg across rounds",
     )
+    ap.add_argument(
+        "--controls", action="store_true",
+        help="time the per-leg attribution controls inside each pinned "
+        "session (control_cpu: pure-ALU md5 — ~1.0 efficiency iff the "
+        "window is quiet; control_bw: 3.2 GB streaming sum — the "
+        "single-box memory-bandwidth ceiling a real cluster lacks)",
+    )
     args = ap.parse_args()
 
     if args.mode == "synth" and args.rounds > 1:
         rounds = []
         for r in range(args.rounds):
-            small = run_synth(args.n, args.n_docs, passes=2)
-            big = run_synth(args.n * 4, args.n_docs, passes=2)
+            small = run_synth(args.n, args.n_docs, passes=2, controls=args.controls)
+            big = run_synth(args.n * 4, args.n_docs, passes=2, controls=args.controls)
             rounds.append((small, big))
             pair_eff = (small["elapsed_sec"] / big["elapsed_sec"]) / 4
             print(
@@ -115,6 +123,27 @@ def main() -> None:
                     "triples_per_sec_big": round(n_triples / t_big, 1),
                     "speedup": round(speedup, 3),
                     "scaling_efficiency": round(speedup / 4, 3),
+                    **(
+                        {
+                            "control_cpu_sec_small": min(
+                                s["control_cpu_sec"] for s, _ in rounds),
+                            "control_cpu_sec_big": min(
+                                b["control_cpu_sec"] for _, b in rounds),
+                            "control_cpu_efficiency": round(
+                                min(s["control_cpu_sec"] for s, _ in rounds)
+                                / min(b["control_cpu_sec"] for _, b in rounds)
+                                / 4, 3),
+                            "control_bw_sec_small": min(
+                                s["control_bw_sec"] for s, _ in rounds),
+                            "control_bw_sec_big": min(
+                                b["control_bw_sec"] for _, b in rounds),
+                            "control_bw_efficiency": round(
+                                min(s["control_bw_sec"] for s, _ in rounds)
+                                / min(b["control_bw_sec"] for _, b in rounds)
+                                / 4, 3),
+                        }
+                        if args.controls else {}
+                    ),
                 }
             )
         )
