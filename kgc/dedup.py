@@ -56,43 +56,64 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: (a, b, jaccard) with a < b.
 
-    shingle → lane-exploded minhash (kgc.link.lsh_band_keys: lanes as
-    DATA, map-side-combined min — O(1) codegen in k, the round-2 fix
-    for the round-1 JIT code-cache thrash) → band self-join on
-    (band, key) → exact-Jaccard verify.  dropDuplicates on the pair
+    shingle + minhash banding in one Arrow-batched per-doc UDF pass
+    (kgc.link.make_shingle_band_udf, r4 — bit-identical to the
+    kgc.link.lsh_band_keys lanes-as-data derivation the oracle
+    replays, minus its explode/shuffle/SortAggregate) → band self-join
+    on (band, key) → exact-Jaccard verify.  dropDuplicates on the pair
     collapses multi-band collisions before the (cheap) verification.
     """
     from pyspark import StorageLevel
 
-    # toks → shingles in separate projections (CollapseProject barrier:
-    # each hop's output is referenced ≥2 times downstream).  The shingle
-    # table is persisted: it feeds both the band computation and the
-    # pairwise verification join.
-    from kgc.link import shingles_from_tokens
-    from kgc.textops import norm_tokens
+    # Shingles AND band keys in one Arrow-batched per-doc pass
+    # (kgc/link.make_shingle_band_udf — r4): the Catalyst HOF shingle
+    # build is interpreted (4.6 s of 8 s at sf0.1) and the lanes-as-data
+    # band build pays a SortAggregate over the |shingles|·k explode
+    # because min(string) has no mutable HashAggregate buffer (3.6 s).
+    # Folding both into the UDF closure removes the explode, the
+    # shuffle, and the sort; values are bit-identical (twin
+    # pytest-pinned) and the DuckDB oracle replay is untouched.  The
+    # combined table is persisted: it feeds the band explode AND the
+    # pairwise verification join twice (persist is REQUIRED for
+    # multi-consumption of pandas-UDF outputs — Spark 4.1 re-clones the
+    # subtree on dedup otherwise), and the band explode reads the
+    # CACHED column, so InferFiltersFromGenerate cannot re-inline the
+    # UDF into a JVM predicate.
+    from kgc.link import make_shingle_band_udf
 
-    # empty-doc filter runs on _toks BEFORE the shingle projection:
-    # filtering on size(sh) afterwards lets predicate pushdown re-inline
-    # the whole shingle+tokenizer tree into the Filter (8 regex copies
-    # in the plan, 4.3s vs 0.5s at sf0.1).  sh is empty iff toks is
-    # empty, so the predicates are equivalent.
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("_toks")
-        )
-        .filter(F.size("_toks") > 0)
+    # Fan the text table out to full parallelism BEFORE the UDF: a
+    # small-SF parquet scan yields 1-2 input splits, which would pin
+    # the Arrow stage (the query's entire CPU cost) to 1-2 cores — the
+    # UDF ran 2.5x SLOWER than the Catalyst build until this line.  The
+    # shuffle moves only (id, raw text) once; at 100 TB the scan
+    # already has thousands of splits and Spark's AQE would coalesce,
+    # not split, so this is a small-input correction, not a scale cost.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # The persist sits at the STRUCT boundary, before any field
+    # extraction: CollapseProject inlines `_mh.sh` / `_mh.bands` /
+    # filter references into separate copies of the UDF expression
+    # (measured: THREE ArrowEvalPython nodes, 0.84 s → 4.2 s), so field
+    # access must read a materialized cache, not the live expression.
+    mh = (
+        df.repartition(nparts, F.col(id_col))
         .select(
-            "doc_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
+            F.col(id_col).alias("doc_id"),
+            make_shingle_band_udf(shingle_n, k, bands)(F.col(text_col)).alias("_mh"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # band keys only — the heavy shingle arrays do NOT ride the shuffle.
-    # The band table is consumed TWICE (x and y sides of the self-join);
-    # without a persist each side recomputes the lane explode + two
-    # aggregations (measured 11s → 8s at sf0.1 from this one pin).
-    # It is tiny: |docs| × bands rows of (id, band, md5-hex).
-    banded = lsh_band_keys(sh, "sh", ["doc_id"], k, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        mh.select("doc_id", F.col("_mh.sh").alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    # band table: |docs| × bands tiny rows of (id, band, md5-hex),
+    # consumed TWICE (x and y sides of the self-join); empty-shingle
+    # docs have empty band arrays, so the explode drops them — no
+    # separate filter needed on this side
+    banded = (
+        mh.select("doc_id", F.explode("_mh.bands").alias("_b"))
+        .select("doc_id", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = (
         banded.alias("x")
@@ -111,7 +132,7 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    out._kgc_pinned = [sh, banded]  # released by kgc.pipeline.release
+    out._kgc_pinned = [mh, banded]  # released by kgc.pipeline.release
     return out
 
 

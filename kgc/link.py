@@ -26,8 +26,10 @@ uniformly distributed, no skew by construction.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # ------------------------------------------------------------- shingles ---
@@ -72,6 +74,128 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
         F.lower(F.col(col) if isinstance(col, str) else col), F.lit(r"(?U)[^\W_]+"), 0
     )
     return shingles_from_tokens(toks, n)
+
+
+def make_shingle_udf(n: int = 3):
+    """Arrow-batched twin of ``norm_tokens`` + ``shingles_from_tokens``
+    — text → distinct word n-gram shingles, first-occurrence order.
+
+    Higher-order functions never enter whole-stage codegen, so the
+    Catalyst shingle build (transform + array_join(slice) +
+    array_distinct, all interpreted) was the single largest stage of
+    minhash_pairs at sf0.1 (4.6 s of 8 s).  One Python loop per doc
+    under Arrow batching is several times cheaper, and the values are
+    IDENTICAL: Python's ``[^\\W_]+``/lower() tokenization equals the
+    Catalyst ``(?U)[^\\W_]+``/lower() class — the same equivalence the
+    mention scanner has relied on since round 2 (kgc/mentions
+    norm_tokens_py vs _norm_tokens_expr, oracle-green), and
+    ``dict.fromkeys`` reproduces array_distinct's first-occurrence
+    order.  Twin equality is pytest-pinned on the synthetic corpus
+    (tests/test_dataops.py)."""
+    import re as _re
+
+    tok = _re.compile(r"[^\W_]+", _re.UNICODE)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        def one(t):
+            toks = tok.findall((t or "").lower())
+            if not toks:
+                return []
+            m = len(toks) - (n - 1)
+            if m < 1:
+                m = 1
+            return list(dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(m)
+            ))
+
+        return texts.map(one)
+
+    return sh
+
+
+MINHASH_DOC_TYPE = T.StructType(
+    [
+        T.StructField("sh", T.ArrayType(T.StringType())),
+        T.StructField(
+            "bands",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("band", T.IntegerType()),
+                        T.StructField("key", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def make_shingle_band_udf(n: int = 3, k: int = 32, bands: int = 8):
+    """Arrow-batched twin of shingles + :func:`lsh_band_keys` in ONE
+    per-doc pass: text → (sh, [(band, key)]).
+
+    Why: the lanes-as-data band build explodes |shingles|·k rows
+    through a min(string) aggregation, and Spark's HashAggregate only
+    takes fixed-size mutable buffers — min over strings falls back to
+    SortAggregate, a full sort of the exploded table on BOTH sides of
+    the exchange (3.6 s of minhash_pairs' 5.4 s at sf0.1 after the
+    shingle UDF landed).  Here the per-lane minima fold inside the
+    Arrow batch — no explode, no shuffle, no sort; the only wide op
+    left in the band table build is the final explode of bands-per-doc
+    (consumed from a persisted cache, so the
+    InferFiltersFromGenerate hazard does not apply).
+
+    Values are BIT-IDENTICAL to the Catalyst/DuckDB derivation:
+    hashlib.md5 over UTF-8 == Spark md5(concat(lane, '|', shingle)) ==
+    DuckDB md5(lane || '|' || shingle); Python min over lowercase hex
+    strings is the same lexicographic order; band key =
+    md5('|'.join(lane minima in lane order)) = md5(concat_ws('|',
+    lanes-in-band)).  Twin equality vs lsh_band_keys is pytest-pinned
+    (tests/test_dataops.py), and the oracle SQL is untouched.
+    """
+    import hashlib
+    import re as _re
+
+    rows = k // bands
+    tok = _re.compile(r"[^\W_]+", _re.UNICODE)
+    lane_prefixes = [f"{i}|".encode() for i in range(k)]
+    md5 = hashlib.md5
+
+    @F.pandas_udf(MINHASH_DOC_TYPE)
+    def f(texts: pd.Series) -> pd.DataFrame:
+        shs, bnds = [], []
+        for t in texts:
+            toks = tok.findall((t or "").lower())
+            if not toks:
+                shs.append([])
+                bnds.append([])
+                continue
+            m = len(toks) - (n - 1)
+            if m < 1:
+                m = 1
+            sh = list(dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(m)
+            ))
+            enc = [s.encode("utf-8") for s in sh]
+            mins = [
+                min(md5(p + e).hexdigest() for e in enc)
+                for p in lane_prefixes
+            ]
+            shs.append(sh)
+            bnds.append([
+                {
+                    "band": b,
+                    "key": md5(
+                        "|".join(mins[b * rows : (b + 1) * rows]).encode()
+                    ).hexdigest(),
+                }
+                for b in range(bands)
+            ])
+        return pd.DataFrame({"sh": shs, "bands": bnds})
+
+    return f
 
 
 # -------------------------------------------------------------- minhash ---
