@@ -129,6 +129,7 @@ def main() -> None:
     # tests/test_dataops.py).
     run("ann_ivf", em.q_ann_ivf)
     run("ann_topk", em.q_ann_topk)
+    run("ann_lsh", em.q_ann_lsh)
     run("embed_neardup", em.q_embed_neardup)
     run("events_rollup", em.q_events_rollup)
     run("revenue_by_nation", em.q_revenue_by_nation)
