@@ -207,6 +207,25 @@ def main() -> None:
             round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
         )
     timings["cc_skewed"] = min(passes["cc_skewed"])
+    # hybrid tail (local_finish_threshold): the same graph, but once an
+    # iteration's contracted edge set fits the driver budget the tail
+    # finishes with union-find — the production shape (bulk distributed
+    # + salted, scheduler-bound confirmation iterations skipped).
+    # Output equality vs the pure run is pytest-pinned.
+    for _ in range(2):
+        tot0, st0 = read_stat()
+        t0 = time.time()
+        cc = connected_components(
+            cc_edges, small_graph_threshold=0, local_finish_threshold=1_000_000
+        )
+        cc.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        tot1, st1 = read_stat()
+        passes.setdefault("cc_skewed_hybrid", []).append(round(dt, 3))
+        steal.setdefault("cc_skewed_hybrid", []).append(
+            round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
+        )
+    timings["cc_skewed_hybrid"] = min(passes["cc_skewed_hybrid"])
     run_control("cc_skewed")
 
     total = round(sum(timings.values()), 3)

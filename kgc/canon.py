@@ -125,6 +125,7 @@ def connected_components(
     salt: int = DEFAULT_SALT,
     checkpoint: bool = True,
     small_graph_threshold: int = SMALL_GRAPH_THRESHOLD,
+    local_finish_threshold: int | None = None,
 ) -> DataFrame:
     """Edge list → (node, component) with component = min node id.
 
@@ -139,6 +140,19 @@ def connected_components(
     work a single collect does in milliseconds.  The distributed path
     (pass ``small_graph_threshold=0``) is the 10^12-scale algorithm;
     tests exercise both and assert identical output.
+
+    ``local_finish_threshold`` (r4) enables the HYBRID tail: star
+    contraction shrinks the edge set geometrically, so the last 2-3
+    iterations move a near-star forest through ~8 fixed-overhead
+    shuffles each just to confirm convergence.  When an iteration's
+    contracted edge count (already computed for the convergence
+    checksum — no extra job) drops to the threshold, the remainder is
+    collected and finished with the driver union-find; output is
+    IDENTICAL (pytest-pinned vs the pure-distributed run).  This is the
+    same amortization posture as the incremental dedup probe: the bulk
+    stays distributed and salted, the scheduler-bound tail does not.
+    On a 10^12-edge cluster run, size it to driver memory (a star
+    forest row is two longs — 10M edges ≈ 160 MB).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -175,6 +189,28 @@ def connected_components(
         if prev is not None and cs == prev:
             break
         prev = cs
+        if local_finish_threshold and cs[0] <= local_finish_threshold:
+            # hybrid tail: the contracted set fits the driver budget —
+            # finish with union-find instead of burning 2-3 more
+            # fixed-overhead iterations confirming convergence
+            edge_rows = [(r["u"], r["v"]) for r in e.collect()]
+            node_rows = sorted({x for uv in edge_rows for x in uv})
+            mapping = _union_find_local(edge_rows, node_rows)
+            spark = edges.sparkSession
+            out_type = nodes.schema["node"].dataType.simpleString()
+            m = spark.createDataFrame(
+                mapping, f"node {out_type}, component {out_type}"
+            )
+            return (
+                nodes.join(m, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("component"), F.col("node")).alias(
+                        "component"
+                    ),
+                )
+                .distinct()
+            )
 
     # post small-star the edge set is (node → component-min) for every
     # non-root node; roots map to themselves.

@@ -394,6 +394,37 @@ def test_incremental_components_equals_full_recompute(spark):
     assert as_map(incr_dist) == got
 
 
+def test_cc_local_finish_equals_pure_distributed(spark):
+    """The r4 hybrid tail (local_finish_threshold) must produce the
+    exact assignment of both the pure-distributed star contraction and
+    the driver union-find, on a graph with a hot hub + chains + random
+    merges (mid-contraction hand-off, not a trivial first-round
+    finish)."""
+    import random
+
+    from kgc.canon import connected_components
+
+    rng = random.Random(11)
+    edges = [(0, i) for i in range(1, 300)]                  # hub
+    edges += [(i, i + 1) for i in range(1000, 1200)]          # chain
+    edges += [(rng.randrange(2000, 2600), rng.randrange(2000, 2600))
+              for _ in range(400)]                            # random blob
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src bigint, dst bigint"
+    )
+
+    def as_map(df):
+        return {r["node"]: r["component"] for r in df.collect()}
+
+    pure = as_map(connected_components(e, max_iter=30,
+                                       small_graph_threshold=0))
+    hybrid = as_map(connected_components(e, max_iter=30,
+                                         small_graph_threshold=0,
+                                         local_finish_threshold=10_000))
+    local = as_map(connected_components(e))   # driver union-find path
+    assert pure == hybrid == local
+
+
 def test_incremental_components_preserves_singletons(spark):
     """A prior (n, n) singleton assignment row must survive the fold:
     its star edge is a self-loop that connected_components drops, so
