@@ -274,6 +274,102 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_COLOR_OF = {("DeviceGray", 1): 0, ("DeviceRGB", 3): 2}
+
+
+def raw_samples_to_png(
+    payload: bytes, width: int, height: int, color_space: str | None,
+    bits: int,
+) -> bytes | None:
+    """Wrap fully-decoded PDF image samples into a PNG the stdlib
+    strict decoder reads, when losslessly possible (8-bit DeviceGray /
+    DeviceRGB with exactly width×height×ch bytes); None otherwise."""
+    ch = {"DeviceGray": 1, "DeviceRGB": 3}.get(color_space or "")
+    if ch is None or bits != 8 or width <= 0 or height <= 0:
+        return None
+    if len(payload) != width * height * ch:
+        return None
+    color_type = _PNG_COLOR_OF[(color_space, ch)]
+
+    def chunk(t: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + t + data
+            + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + payload[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def pdf_image_media_rows_py(doc_id: str, pdf_bytes: bytes) -> list[dict]:
+    """One PDF → media rows for its embedded image XObjects.
+
+    codec='raw' 8-bit gray/RGB samples are PNG-wrapped (losslessly) so
+    ``decode_media(mode='strict')`` really decodes them; DCTDecode
+    payloads are carried as the ready JPEG bytes they are (strict mode
+    quarantines them naming pillow — same routing as any other JPEG);
+    other codecs/shapes carry their bytes and quarantine as
+    unrecognized.  Ref: the reference's parser is text-only
+    (internal/parser/pdf.go:16-58) — this closes the image side."""
+    from kgc.pdf import PdfUnsupportedError, extract_images
+
+    try:
+        images = extract_images(pdf_bytes)
+    except (PdfUnsupportedError, Exception):
+        return []
+    rows = []
+    for im in images:
+        payload = im["payload"]
+        if im["codec"] == "raw":
+            png = raw_samples_to_png(
+                payload, im["width"], im["height"], im["color_space"], im["bits"]
+            )
+            if png is not None:
+                payload = png
+        rows.append(
+            {
+                "media_ref": f"{doc_id}#p{im['page']}/{im['name']}",
+                "kind": "image",
+                "payload": payload,
+                "meta": {
+                    "src": str(doc_id),
+                    "page": str(im["page"]),
+                    "codec": im["codec"],
+                    "pdf_width": str(im["width"]),
+                    "pdf_height": str(im["height"]),
+                },
+            }
+        )
+    return rows
+
+
+def pdf_media_table(
+    df: DataFrame, id_col: str = "doc_id", pdf_col: str = "pdf"
+) -> DataFrame:
+    """(doc_id, pdf binary) → media rows (MEDIA_SCHEMA), one per
+    embedded image XObject — an Arrow-batched 1:N mapInPandas stage,
+    the same shape as frame_sample.  Feeds decode_media directly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, blob in zip(pdf[id_col], pdf[pdf_col]):
+                rows.extend(pdf_image_media_rows_py(doc_id, bytes(blob or b"")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic 8-dim feature vector from the payload bytes."""
     h = hashlib.md5(payload or b"").digest()

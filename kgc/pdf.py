@@ -42,7 +42,7 @@ import hashlib
 import re
 import zlib
 
-__all__ = ["PdfUnsupportedError", "extract_pages"]
+__all__ = ["PdfUnsupportedError", "extract_pages", "extract_images"]
 
 
 class PdfUnsupportedError(ValueError):
@@ -571,6 +571,11 @@ def _r6_hash(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
+# image codecs: the stream bytes at this point in the /Filter chain ARE
+# the encoded image (never used for content/text streams)
+_IMAGE_CODECS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF",
+                 "JBIG2Decode"}
+
 _OBJ_AT = re.compile(rb"[\r\n\t\x0c\x00 ]*(\d+)\s+\d+\s+obj\b")
 
 
@@ -890,9 +895,20 @@ class _Doc:
         return v
 
     def _decode(self, d: dict, stream: bytes) -> bytes:
+        out, codec = self._apply_filters(d, stream, stop_at_image=False)
+        return out
+
+    def _apply_filters(
+        self, d: dict, stream: bytes, stop_at_image: bool
+    ) -> tuple[bytes, str | None]:
+        """Run the /Filter chain.  ``stop_at_image=True`` (the image
+        XObject path) stops at the first image codec and returns its
+        name — the remaining bytes ARE the encoded image (JPEG for
+        DCTDecode etc.); text extraction keeps the old behavior of
+        raising, since image codecs never encode content streams."""
         filt = self.resolve(d.get("Filter"))
         if filt is None:
-            return stream
+            return stream, None
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(d.get("DecodeParms")) or self.resolve(d.get("DP"))
         parms_list = parms if isinstance(parms, list) else [parms]
@@ -918,6 +934,8 @@ class _Doc:
                 out = _rl_decode(out)
             elif f == "Crypt":
                 raise PdfUnsupportedError("filter Crypt (encrypted stream)")
+            elif stop_at_image and f in _IMAGE_CODECS:
+                return out, f
             else:  # DCT/JPX/CCITT/JBIG2 are image codecs, never text
                 raise PdfUnsupportedError(f"filter {f}")
             if isinstance(p, dict) and p.get("Predictor"):
@@ -926,7 +944,7 @@ class _Doc:
                     int(self.resolve(p["Predictor"])),
                     int(self.resolve(p.get("Columns", 1))),
                 )
-        return out
+        return out, None
 
     def stream_bytes(self, ref) -> bytes:
         v = ref
@@ -1257,3 +1275,73 @@ def extract_pages(data: bytes) -> list[str]:
         raise PdfUnsupportedError("not a PDF")
     doc = _Doc(data)
     return [_page_text(doc, p) for p in doc.pages()]
+
+
+def extract_images(data: bytes) -> list[dict]:
+    """Embedded image XObjects → [{page, name, width, height, bits,
+    color_space, codec, payload}] (r4; the reference reads no images —
+    its `ledongthuc/pdf` is text-only — this feeds the media pipeline).
+
+    The outer stream filters (Flate/LZW/AHx/A85/RL, after decryption)
+    are undone; when the chain reaches an image codec the remaining
+    bytes ARE that format and ``codec`` names it ('DCTDecode' bytes are
+    a ready JPEG, 'JPXDecode' a JPEG-2000 stream).  ``codec='raw'``
+    means fully decoded interleaved samples of
+    width × height × components at ``bits`` per component — the
+    kgc.media adapter wraps the 8-bit gray/RGB case into a PNG the
+    stdlib strict decoder reads.  Malformed individual images are
+    skipped (poison isolation at the image level, not the doc level).
+    """
+    if not data.startswith(b"%PDF"):
+        raise PdfUnsupportedError("not a PDF")
+    doc = _Doc(data)
+    out: list[dict] = []
+    seen: set[int] = set()
+    for pidx, page in enumerate(doc.pages()):
+        res = doc.resolve(page.get("Resources")) or {}
+        xobj = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if not isinstance(xobj, dict):
+            continue
+        for name, ref in xobj.items():
+            try:
+                # follow the Ref chain to the stream-bearing object
+                v, num, val, stream = ref, None, None, None
+                while isinstance(v, Ref):
+                    num = v.num
+                    val, stream = doc.objs.get(num, (None, None))
+                    if stream is not None:
+                        break
+                    v = val
+                if (
+                    stream is None
+                    or not isinstance(val, dict)
+                    or doc.resolve(val.get("Subtype")) != "Image"
+                    or num in seen
+                ):
+                    continue
+                seen.add(num)
+                length = val.get("Length")
+                if isinstance(length, Ref):
+                    n = doc.resolve(length)
+                    if isinstance(n, int):
+                        stream = stream[:n]
+                raw = doc._decrypt(num, val, stream)
+                payload, codec = doc._apply_filters(val, raw, stop_at_image=True)
+                cs = doc.resolve(val.get("ColorSpace"))
+                if isinstance(cs, list) and cs:
+                    cs = doc.resolve(cs[0])
+                out.append(
+                    {
+                        "page": pidx,
+                        "name": str(name),
+                        "width": int(doc.resolve(val.get("Width", 0)) or 0),
+                        "height": int(doc.resolve(val.get("Height", 0)) or 0),
+                        "bits": int(doc.resolve(val.get("BitsPerComponent", 8)) or 8),
+                        "color_space": str(cs) if cs is not None else None,
+                        "codec": str(codec) if codec else "raw",
+                        "payload": payload,
+                    }
+                )
+            except Exception:
+                continue  # one bad image never poisons the document
+    return out

@@ -702,6 +702,55 @@ def _r6_hash_indep(pw: bytes, salt: bytes) -> bytes:
             return k[:32]
 
 
+def _image_pdf(extra_img: bytes | None = None) -> bytes:
+    """Minimal PDF with two image XObjects: a FlateDecode raw 4x3 RGB
+    bitmap and a DCTDecode (JPEG-bytes) one; regex-scan layout (no
+    xref table) like real-world broken files."""
+    import zlib
+
+    rgb = bytes(range(36))  # 4x3x3 deterministic samples
+    flate = zlib.compress(rgb)
+    jpeg = extra_img if extra_img is not None else b"\xff\xd8\xff\xe0FAKEJPEG"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+        b"/Resources << /XObject << /Im1 4 0 R /Im2 5 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Subtype /Image /Width 4 /Height 3 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceRGB /Filter /FlateDecode /Length "
+        + str(len(flate)).encode() + b" >>\nstream\n" + flate
+        + b"\nendstream endobj\n",
+        b"5 0 obj << /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 "
+        b"/ColorSpace /DeviceRGB /Filter /DCTDecode /Length "
+        + str(len(jpeg)).encode() + b" >>\nstream\n" + jpeg
+        + b"\nendstream endobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"trailer << /Root 1 0 R >>\n%%EOF"
+
+
+class TestPdfImages:
+    def test_extract_images(self):
+        from kgc.pdf import extract_images
+
+        ims = {i["name"]: i for i in extract_images(_image_pdf())}
+        assert set(ims) == {"Im1", "Im2"}
+        raw = ims["Im1"]
+        assert (raw["codec"], raw["width"], raw["height"]) == ("raw", 4, 3)
+        assert raw["color_space"] == "DeviceRGB"
+        assert raw["payload"] == bytes(range(36))  # Flate undone
+        jpg = ims["Im2"]
+        assert jpg["codec"] == "DCTDecode"
+        assert jpg["payload"].startswith(b"\xff\xd8\xff")  # ready JPEG bytes
+
+    def test_extract_images_not_pdf(self):
+        import pytest as _pytest
+
+        from kgc.pdf import PdfUnsupportedError, extract_images
+
+        with _pytest.raises(PdfUnsupportedError):
+            extract_images(b"plain text, no pdf here")
+
+
 def _aes_pdf(content: bytes = b"BT /F1 12 Tf 72 720 Td (Hello AES) Tj ET",
              v: int = 4, user_pw: bytes = b"") -> bytes:
     """V4/AESV2 (AES-128, MD5-derived file key) or V5/R6 (AES-256,
