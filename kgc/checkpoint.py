@@ -105,3 +105,50 @@ class StageStore:
             self._manifest(stage).unlink()
         if self._dir(stage).exists():
             shutil.rmtree(self._dir(stage))
+
+    # -------------------------------------------------- bucketed stages ---
+    def _table_name(self, stage: str) -> str:
+        import re
+
+        return re.sub(r"[^A-Za-z0-9_]", "_", f"kgc_{self.root.name}_{stage}")
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        stage: str,
+        key: str = "doc_id",
+        buckets: int = 32,
+    ) -> DataFrame:
+        """Materialize a stage as a bucketed+sorted table (r4) — the
+        plain-Spark stand-in for an Iceberg bucket-partitioned table.
+
+        Why at 100 TB: the pipeline joins its stages on doc_id over and
+        over (segments ⨝ mentions ⨝ links ⨝ triples).  Stages stored
+        bucketed by the SAME key into the SAME bucket count join with
+        NO shuffle exchange and (being sortBy'd) no sort — the
+        co-location is paid ONCE at write time instead of one full
+        exchange of the bigger side per consuming query.  Bucketing
+        metadata needs a table catalog, so this writes through
+        ``saveAsTable`` with an explicit external path under the store
+        root (data stays with the store; the catalog entry is the only
+        session-level artifact).  Tested: the bucketed self-join plan
+        contains zero shuffle exchanges (tests/test_streaming_media.py).
+        """
+        spark = df.sparkSession
+        name = self._table_name(stage)
+        path = self.root / f"{stage}.tbl"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if path.exists():
+            shutil.rmtree(path)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", str(path))
+            .saveAsTable(name)
+        )
+        return spark.table(name)
+
+    def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.table(self._table_name(stage))

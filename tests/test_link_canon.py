@@ -240,6 +240,47 @@ def test_canonicalize_entities_merges_shared_alias(spark):
     assert out[0]["canonical_id"] == "E4"
 
 
+def test_bucketed_stage_join_is_shuffle_free(spark, tmp_path):
+    """Two stages written bucketed+sorted on the same key / bucket
+    count must join with ZERO shuffle exchanges and zero sorts (the
+    co-location is paid once at write time) — the r4 Iceberg
+    bucket-partitioning stand-in.  The plain-parquet control join of
+    the same data shows the exchanges the bucketing removes."""
+    from kgc.checkpoint import StageStore
+
+    store = StageStore(tmp_path / "stages")
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("x")
+    )
+    b = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("y")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta = store.write_bucketed(a, "stage_a", key="doc_id", buckets=8)
+        tb = store.write_bucketed(b, "stage_b", key="doc_id", buckets=8)
+        joined = ta.join(tb, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+        # control: same data from plain parquet shuffles both sides
+        pa = store.write(a, "plain_a")
+        pb = store.write(b, "plain_b")
+        ctl = pa.join(pb, "doc_id")
+        ctl_plan = ctl._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in ctl_plan
+        # re-read through the catalog keeps the bucket spec
+        again = store.read_bucketed(spark, "stage_a").join(
+            store.read_bucketed(spark, "stage_b"), "doc_id"
+        )
+        assert "Exchange" not in again._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {store._table_name('stage_a')}")
+        spark.sql(f"DROP TABLE IF EXISTS {store._table_name('stage_b')}")
+
+
 # ------------------------------------------------------------- pipeline ---
 def test_pipeline_end_to_end(spark, tmp_path):
     from kgc.checkpoint import StageStore
