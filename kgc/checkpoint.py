@@ -118,6 +118,7 @@ class StageStore:
         stage: str,
         key: str = "doc_id",
         buckets: int = 32,
+        extra: dict | None = None,
     ) -> DataFrame:
         """Materialize a stage as a bucketed+sorted table (r4) — the
         plain-Spark stand-in for an Iceberg bucket-partitioned table.
@@ -130,13 +131,19 @@ class StageStore:
         exchange of the bigger side per consuming query.  Bucketing
         metadata needs a table catalog, so this writes through
         ``saveAsTable`` with an explicit external path under the store
-        root (data stays with the store; the catalog entry is the only
-        session-level artifact).  Tested: the bucketed self-join plan
-        contains zero shuffle exchanges (tests/test_streaming_media.py).
+        root; the manifest records the bucket spec + schema DDL so a
+        NEW session (in-memory catalog, no Hive) can re-register the
+        table and keep the co-location (``read_bucketed``).  Same
+        commit protocol as ``write``: manifest deleted first, written
+        last — it IS the commit record.  Tested: the bucketed join
+        plan contains zero shuffle exchanges
+        (tests/test_link_canon.py::test_bucketed_stage_join_is_shuffle_free).
         """
         spark = df.sparkSession
         name = self._table_name(stage)
-        path = self.root / f"{stage}.tbl"
+        path = self._dir(stage)
+        if self._manifest(stage).exists():
+            self._manifest(stage).unlink()
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         if path.exists():
             shutil.rmtree(path)
@@ -148,7 +155,27 @@ class StageStore:
             .option("path", str(path))
             .saveAsTable(name)
         )
-        return spark.table(name)
+        out = spark.table(name)
+        manifest = {
+            "stage": stage,
+            "rows": out.count(),
+            "bucketed": {"key": key, "buckets": buckets,
+                         "ddl": df._jdf.schema().toDDL()},
+            **(extra or {}),
+        }
+        self._manifest(stage).write_text(json.dumps(manifest))
+        return out
 
     def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.table(self._table_name(stage))
+        """Catalog read; re-registers the table (from the manifest's
+        bucket spec + DDL) when this session has never seen it."""
+        name = self._table_name(stage)
+        if not spark.catalog.tableExists(name):
+            spec = self.manifest(stage)["bucketed"]
+            spark.sql(
+                f"CREATE TABLE {name} ({spec['ddl']}) USING parquet "
+                f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
+                f"INTO {spec['buckets']} BUCKETS "
+                f"LOCATION '{self._dir(stage)}'"
+            )
+        return spark.table(name)

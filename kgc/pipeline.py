@@ -208,6 +208,7 @@ def run(
     store: StageStore | None = None,
     fuzzy: bool = True,
     seg_token_limit: int | None = None,
+    bucket_stages: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline.  ``docs`` needs (doc_id, spans) or (doc_id, text).
 
@@ -219,6 +220,12 @@ def run(
     in stages['quarantine'] instead of the healthy flow.  Call
     :func:`release` when done with the outputs to drop the stage
     caches.
+
+    ``bucket_stages=N`` (needs a store) materializes every stage as a
+    table bucketed+sorted on doc_id into N buckets: downstream doc_id
+    joins between stages — and the restart anti-join — run with no
+    shuffle exchange, the Iceberg bucket-partitioning posture
+    (StageStore.write_bucketed).
     """
     alias_df = alias_df if alias_df is not None else _default_alias_df(spark)
     aliases = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
@@ -241,10 +248,18 @@ def run(
     def stage(name: str, make):
         if store is not None:
             if store.is_valid(name, fp):
+                if bucket_stages:
+                    return store.read_bucketed(spark, name)
                 return store.read(spark, name)
             store.invalidate(name)
             made = make()
-            out = store.write(made, name, extra={"fingerprint": fp})
+            if bucket_stages and "doc_id" in made.columns:
+                out = store.write_bucketed(
+                    made, name, key="doc_id", buckets=bucket_stages,
+                    extra={"fingerprint": fp},
+                )
+            else:
+                out = store.write(made, name, extra={"fingerprint": fp})
             # the stage is on disk now — drop any caches the operator
             # pinned internally (e.g. link_mentions' mention table)
             for p in getattr(made, "_kgc_pinned", []):

@@ -281,6 +281,39 @@ def test_bucketed_stage_join_is_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {store._table_name('stage_b')}")
 
 
+def test_pipeline_bucketed_stages(spark, tmp_path):
+    """pipeline.run(bucket_stages=N): same triples as the plain store,
+    resume served from the catalog, and a doc_id join between two
+    bucketed stages plans with no shuffle exchange."""
+    from kgc.checkpoint import StageStore
+
+    docs = synth.generate_documents(spark, n_docs=50)
+    plain = pipeline.run(spark, docs, max_tokens=50,
+                         store=StageStore(tmp_path / "p"))
+    store = StageStore(tmp_path / "b")
+    bucketed = pipeline.run(spark, docs, max_tokens=50, store=store,
+                            bucket_stages=8)
+    t1 = plain["triples"].select("subj", "pred", "obj").sort("subj", "pred", "obj")
+    t2 = bucketed["triples"].select("subj", "pred", "obj").sort("subj", "pred", "obj")
+    assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+    # resume: valid stages come back through the catalog
+    again = pipeline.run(spark, docs, max_tokens=50, store=store,
+                         bucket_stages=8)
+    assert again["triples"].count() == bucketed["triples"].count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = again["segments"].join(
+            again["triples"].select("doc_id", "subj"), "doc_id"
+        )
+        assert "Exchange" not in j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    pipeline.release(plain)
+    pipeline.release(bucketed)
+    pipeline.release(again)
+
+
 # ------------------------------------------------------------- pipeline ---
 def test_pipeline_end_to_end(spark, tmp_path):
     from kgc.checkpoint import StageStore
