@@ -794,11 +794,15 @@ def q_corpus_curation(spark, sf_dir):
         .select("doc_id", "text")
         .persist()
     )
+    # sig is consumed by BOTH exit branches (quality + sampling) —
+    # unpinned, each branch replays all four signal families (r4 plan
+    # audit); one materialization halves the signal work
     sig = (
         with_language(with_quality_features(surv))
         .select("doc_id", "lang", "score")
         .join(ngram_repetition(surv).select("doc_id", "top_ngram_frac"), "doc_id")
         .join(bigram_lm_scores(surv).select("doc_id", "avg_logp"), "doc_id")
+        .persist()
     )
     fail = (
         (F.col("score") < _CURATE["score_min"])
@@ -822,7 +826,7 @@ def q_corpus_curation(spark, sf_dir):
         "lang", "score", "avg_logp",
     )
     out = dup.unionByName(qrows).unionByName(srows)
-    out._kgc_pinned = [surv]  # released by kgc.pipeline.release
+    out._kgc_pinned = [surv, sig]  # released by kgc.pipeline.release
     return out
 
 
