@@ -1156,7 +1156,10 @@ def q_graph_suite(spark, sf_dir):
     depths 1..7) + entity co-citation (the 2-hop doc—entity—doc
     pattern) + RDFS domain validation of the emitted triples +
     per-entity triangle counts / clustering coefficient over the
-    co-mention graph (degree-ordered orientation).  Legs tagged
+    co-mention graph (degree-ordered orientation) + a BGP query over
+    the constructed KG (kgc.graph.bgp_query: SPARQL-style triple
+    patterns compiled to selectivity-ordered self-joins — here the
+    5-pattern person-colocated-with-place chain+star).  Legs tagged
     (fn, key, out); ints ride as strings (formatting-exact);
     clustering rides 1e6-scaled."""
     closure = _leg(
@@ -1182,7 +1185,28 @@ def q_graph_suite(spark, sf_dir):
                     F.col("n_triangles").cast("string"),
                     F.col("clustering_ppm").cast("string")),
     )
-    return closure.unionByName(cocite).unionByName(validate).unionByName(tri)
+    from kgc.graph import bgp_query
+
+    bgp = _leg(
+        bgp_query(
+            q_entity_triples(spark, sf_dir),
+            [
+                ("?d", "mentions", "?p"),
+                ("?p", "@type", "Person"),
+                ("?p", "name", "?pname"),
+                ("?d", "locations", "?pl"),
+                ("?pl", "name", "?plname"),
+            ],
+            distinct=True,
+        ),
+        "bgp",
+        F.concat_ws("|", F.col("d"), F.col("p"), F.col("pl")),
+        F.concat_ws("|", F.col("pname"), F.col("plname")),
+    )
+    return (
+        closure.unionByName(cocite).unionByName(validate)
+        .unionByName(tri).unionByName(bgp)
+    )
 
 
 def q_dup_ngrams(spark, sf_dir):
@@ -3937,7 +3961,16 @@ SELECT 'triangles', d.u::VARCHAR,
              THEN round(2.0 * coalesce(t.nt, 0) * 1000000
                         / (d.deg * (d.deg - 1)))::BIGINT
              ELSE 0 END)::VARCHAR
-FROM tdeg d LEFT JOIN tcnt t ON d.u = t.node"""
+FROM tdeg d LEFT JOIN tcnt t ON d.u = t.node
+UNION ALL
+SELECT DISTINCT 'bgp', m.subj || '|' || m.obj || '|' || l.obj,
+       pn.obj || '|' || ln.obj
+FROM etrip m
+JOIN etrip pt ON pt.subj = m.obj AND pt.pred = '@type' AND pt.obj = 'Person'
+JOIN etrip pn ON pn.subj = m.obj AND pn.pred = 'name'
+JOIN etrip l  ON l.subj = m.subj AND l.pred = 'locations'
+JOIN etrip ln ON ln.subj = l.obj AND ln.pred = 'name'
+WHERE m.pred = 'mentions'"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

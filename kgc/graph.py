@@ -363,3 +363,117 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     # e.g. comention_edges' de — alongside our own)
     out._kgc_pinned = getattr(edges, "_kgc_pinned", []) + [und, deg, orient]
     return out
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] = (),
+    distinct: bool = False,
+    allow_product: bool = False,
+    broadcast_min_consts: int = 2,
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query over a (subj, pred, obj)
+    triple table — the downstream query primitive the reference's
+    output format exists FOR (it emits JSON-LD knowledge graphs,
+    internal/jsonld/converter.go:52-94, but ships no query layer; at
+    10^12 triples the consumer needs one that runs ON the warehouse
+    copy of the KG, not in a triple store it can't fit).
+
+    ``patterns`` are (s, p, o) terms; a term starting with ``?`` is a
+    variable, anything else is a constant.  Returns one column per
+    variable.  ``optional`` patterns are SPARQL OPTIONAL: left-joined
+    after the required ones, unmatched bindings NULL.
+
+    Spark-first compilation — each pattern becomes a filtered scan of
+    the SAME triple table (constants pushed into the parquet scan as
+    predicates; Catalyst prunes to the bound columns), and the
+    pattern legs are hash-joined on their shared variables:
+
+      * join ORDER is selectivity-greedy: seed with the most-constant
+        pattern, then repeatedly pick a remaining pattern that shares
+        ≥1 already-bound variable (most constants first) — the classic
+        BGP heuristic, and on Spark it also guarantees every join has
+        an equi-key, so no pattern ever degenerates to a cartesian.
+      * a leg with ≥``broadcast_min_consts`` constants is
+        dimension-sized (e.g. ``(?p, @type, Person)`` is one row per
+        Person entity) and gets an explicit broadcast hint; the
+        fact-sized legs ride the shuffle.
+      * a disconnected pattern (no shared variable with anything
+        bound) is a cross product — refused unless
+        ``allow_product=True``, because at KG scale that is always a
+        query bug, not an intent.
+
+    Variables repeated INSIDE one pattern (``(?x, knows, ?x)``) become
+    a per-leg equality filter.  ``distinct=True`` applies SPARQL
+    SELECT DISTINCT semantics (bag → set).
+    """
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    def compile_leg(pat):
+        s, p, o = pat
+        leg = triples
+        n_consts = 0
+        cols, seen = [], {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if is_var(term):
+                name = term[1:]
+                if not name:
+                    raise ValueError(f"empty variable name in pattern {pat}")
+                if name in seen:  # repeated var inside one pattern
+                    leg = leg.filter(F.col(seen[name]) == F.col(col))
+                else:
+                    seen[name] = col
+                    cols.append(F.col(col).alias(name))
+            else:
+                leg = leg.filter(F.col(col) == F.lit(term))
+                n_consts += 1
+        leg = leg.select(*cols)
+        if n_consts >= broadcast_min_consts:
+            leg = F.broadcast(leg)
+        return leg, set(seen), n_consts, pat
+
+    def order_greedy(legs):
+        """Seed = most constants; grow along shared variables."""
+        remaining = list(legs)
+        remaining.sort(key=lambda x: -x[2])  # stable: ties keep input order
+        ordered = [remaining.pop(0)]
+        bound = set(ordered[0][1])
+        while remaining:
+            pick = next(
+                (i for i, leg in enumerate(remaining) if leg[1] & bound), None
+            )
+            if pick is None:
+                if not allow_product:
+                    raise ValueError(
+                        "disconnected pattern group (cross product): "
+                        f"{[leg[3] for leg in remaining]} shares no variable "
+                        "with the bound set; pass allow_product=True if "
+                        "intended"
+                    )
+                pick = 0
+            leg = remaining.pop(pick)
+            ordered.append(leg)
+            bound |= leg[1]
+        return ordered
+
+    if not patterns:
+        raise ValueError("bgp_query needs at least one required pattern")
+    ordered = order_greedy([compile_leg(p) for p in patterns])
+    out, bound = ordered[0][0], set(ordered[0][1])
+    for leg, vars_, _, pat in ordered[1:]:
+        shared = sorted(vars_ & bound)
+        out = out.join(leg, on=shared) if shared else out.crossJoin(leg)
+        bound |= vars_
+    for pat in optional:
+        leg, vars_, _, _ = compile_leg(pat)
+        shared = sorted(vars_ & bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat} shares no variable with the "
+                "required group — its left join would be a cross product"
+            )
+        out = out.join(leg, on=shared, how="left")
+        bound |= vars_
+    return out.dropDuplicates() if distinct else out

@@ -246,3 +246,115 @@ def test_triangle_counts_k4_plus_pendant(spark):
         4: (3, 3, 1000000),
         5: (1, 0, 0),
     }
+
+
+def _toy_kg(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        # doc1 mentions alice (Person) and paris (Place)
+        ("doc:1", "mentions", "ent:alice", "node"),
+        ("doc:1", "locations", "ent:paris", "node"),
+        # doc2 mentions alice only
+        ("doc:2", "mentions", "ent:alice", "node"),
+        # doc3 mentions bob (Person, no name triple) and tokyo
+        ("doc:3", "mentions", "ent:bob", "node"),
+        ("doc:3", "locations", "ent:tokyo", "node"),
+        ("ent:alice", "@type", "Person", "literal"),
+        ("ent:alice", "name", "Alice", "literal"),
+        ("ent:bob", "@type", "Person", "literal"),
+        ("ent:paris", "@type", "Place", "literal"),
+        ("ent:paris", "name", "Paris", "literal"),
+        ("ent:tokyo", "@type", "Place", "literal"),
+        ("ent:tokyo", "name", "Tokyo", "literal"),
+        # a self-loop for the repeated-variable case
+        ("ent:alice", "sameAs", "ent:alice", "node"),
+        ("ent:alice", "sameAs", "ent:bob", "node"),
+    ]
+    return spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o, obj_type=t) for s, p, o, t in rows]
+    )
+
+
+def test_bgp_chain_and_star(spark):
+    """Person–name–place chain binds only the docs with ALL patterns."""
+    from kgc.graph import bgp_query
+
+    out = bgp_query(
+        _toy_kg(spark),
+        [
+            ("?d", "mentions", "?p"),
+            ("?p", "@type", "Person"),
+            ("?p", "name", "?pname"),
+            ("?d", "locations", "?pl"),
+            ("?pl", "name", "?plname"),
+        ],
+    )
+    assert sorted(out.columns) == ["d", "p", "pl", "plname", "pname"]
+    rows = {tuple(r) for r in out.select("d", "pname", "plname").collect()}
+    # doc2 has no location; doc3's bob has no name triple
+    assert rows == {("doc:1", "Alice", "Paris")}
+
+
+def test_bgp_optional_left_join(spark):
+    """OPTIONAL name: bob (no name triple) survives with NULL."""
+    from kgc.graph import bgp_query
+
+    out = bgp_query(
+        _toy_kg(spark),
+        [("?e", "@type", "Person")],
+        optional=[("?e", "name", "?n")],
+    )
+    got = {(r["e"], r["n"]) for r in out.collect()}
+    assert got == {("ent:alice", "Alice"), ("ent:bob", None)}
+
+
+def test_bgp_repeated_var_and_distinct(spark):
+    """(?x, sameAs, ?x) keeps only the self-loop; distinct dedups."""
+    from kgc.graph import bgp_query
+
+    kg = _toy_kg(spark)
+    out = bgp_query(kg, [("?x", "sameAs", "?x")])
+    assert [r["x"] for r in out.collect()] == ["ent:alice"]
+    dup = kg.unionAll(kg)
+    bag = bgp_query(dup, [("?x", "sameAs", "?x")])
+    assert bag.count() == 2
+    assert bgp_query(dup, [("?x", "sameAs", "?x")], distinct=True).count() == 1
+
+
+def test_bgp_disconnected_refused(spark):
+    import pytest as _pt
+
+    from kgc.graph import bgp_query
+
+    kg = _toy_kg(spark)
+    with _pt.raises(ValueError, match="disconnected"):
+        bgp_query(kg, [("?a", "mentions", "?b"), ("?c", "locations", "?d")])
+    # explicit opt-in computes the product
+    n = bgp_query(
+        kg,
+        [("?a", "mentions", "?b"), ("?c", "locations", "?d")],
+        allow_product=True,
+    ).count()
+    assert n == 3 * 2
+    with _pt.raises(ValueError, match="OPTIONAL"):
+        bgp_query(kg, [("?a", "mentions", "?b")],
+                  optional=[("?c", "locations", "?d")])
+
+
+def test_bgp_join_order_and_broadcast_plan(spark):
+    """The 2-constant pattern seeds the plan and rides a broadcast."""
+    from kgc.graph import bgp_query
+
+    out = bgp_query(
+        _toy_kg(spark),
+        [
+            ("?d", "mentions", "?p"),
+            ("?p", "@type", "Person"),
+            ("?p", "name", "?pname"),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {(r["d"], r["pname"]) for r in out.collect()}
+    assert rows == {("doc:1", "Alice"), ("doc:2", "Alice")}
