@@ -1159,9 +1159,13 @@ def q_graph_suite(spark, sf_dir):
     co-mention graph (degree-ordered orientation) + a BGP query over
     the constructed KG (kgc.graph.bgp_query: SPARQL-style triple
     patterns compiled to selectivity-ordered self-joins — here the
-    5-pattern person-colocated-with-place chain+star).  Legs tagged
-    (fn, key, out); ints ride as strings (formatting-exact);
-    clustering rides 1e6-scaled."""
+    5-pattern person-colocated-with-place chain+star) + the W3C
+    N-Triples serialization of the entity-triple table
+    (kgc.triples.to_ntriples: grammar-exact STRING_LITERAL_QUOTE
+    escaping, rdf:type mapping — the KG interchange/bulk-load format;
+    leg key = md5(line), out = the line itself, so the oracle pins the
+    serialization byte-for-byte).  Legs tagged (fn, key, out); ints
+    ride as strings (formatting-exact); clustering rides 1e6-scaled."""
     closure = _leg(
         q_subclass_closure(spark, sf_dir), "closure",
         F.concat(F.col("type_id"), F.lit("|"), F.col("ancestor_id")),
@@ -1203,9 +1207,15 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("d"), F.col("p"), F.col("pl")),
         F.concat_ws("|", F.col("pname"), F.col("plname")),
     )
+    from kgc.triples import to_ntriples
+
+    nt = _leg(
+        to_ntriples(q_entity_triples(spark, sf_dir)), "ntriples",
+        F.md5(F.col("nt")), F.col("nt"),
+    )
     return (
         closure.unionByName(cocite).unionByName(validate)
-        .unionByName(tri).unionByName(bgp)
+        .unionByName(tri).unionByName(bgp).unionByName(nt)
     )
 
 
@@ -3970,7 +3980,19 @@ JOIN etrip pt ON pt.subj = m.obj AND pt.pred = '@type' AND pt.obj = 'Person'
 JOIN etrip pn ON pn.subj = m.obj AND pn.pred = 'name'
 JOIN etrip l  ON l.subj = m.subj AND l.pred = 'locations'
 JOIN etrip ln ON ln.subj = l.obj AND ln.pred = 'name'
-WHERE m.pred = 'mentions'"""
+WHERE m.pred = 'mentions'
+UNION ALL
+SELECT 'ntriples', md5(line), line FROM (
+  SELECT '<kgc:' || subj || '> ' ||
+         CASE WHEN pred = '@type'
+              THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+              ELSE '<https://schema.org/' || pred || '>' END || ' ' ||
+         CASE WHEN obj_type = 'node' THEN '<kgc:' || obj || '>'
+              ELSE '"' || replace(replace(replace(replace(replace(obj,
+                   chr(92), chr(92) || chr(92)), '"', chr(92) || '"'),
+                   chr(10), chr(92) || 'n'), chr(13), chr(92) || 'r'),
+                   chr(9), chr(92) || 't') || '"' END || ' .' AS line
+  FROM etrip)"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

@@ -624,3 +624,112 @@ def validate_triples(
         .otherwise(F.lit("invalid"))
     )
     return flags.select("subj", "pred", verdict.alias("verdict"))
+
+
+# ------------------------------------------------- N-Triples interchange ---
+# W3C N-Triples (RFC-style line format, https://www.w3.org/TR/n-triples/)
+# as the KG interchange surface: the reference emits JSON-LD files
+# (cmd/cli/main.go:211-217); any JSON-LD 1.1 document has an equivalent
+# RDF triple serialization, and N-Triples is the canonical line-oriented
+# one — splittable, greppable, and the usual bulk-load format for triple
+# stores.  Both directions are pure Catalyst projections (no UDFs): at
+# 10^12 docs the export is a narrow whole-stage-codegen pass over the
+# triple table and the parse is a per-line regex, both embarrassingly
+# parallel with zero shuffles.
+
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_NT_NODE_NS = "kgc:"
+_NT_PRED_NS = "https://schema.org/"
+
+
+def _nt_escape(c: Column) -> Column:
+    """STRING_LITERAL_QUOTE escaping (n-triples grammar [9]): backslash
+    first (it introduces every other escape), then quote, LF, CR, TAB.
+    Plain replace() chain — stays inside whole-stage codegen."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+def _nt_unescape(c: Column) -> Column:
+    """Exact inverse of _nt_escape without a scanner: split on the
+    escaped-backslash pair first (so '\\t' = backslash+t is never
+    mistaken for a TAB escape), unescape the single-char escapes inside
+    each piece, then rejoin the pieces with a literal backslash."""
+    piece = lambda x: F.replace(
+        F.replace(
+            F.replace(F.replace(x, F.lit('\\"'), F.lit('"')),
+                      F.lit("\\n"), F.lit("\n")),
+            F.lit("\\r"), F.lit("\r"),
+        ),
+        F.lit("\\t"), F.lit("\t"),
+    )
+    return F.array_join(F.transform(F.split(c, r"\\\\", -1), piece), "\\")
+
+
+def to_ntriples(
+    triples: DataFrame,
+    node_ns: str = _NT_NODE_NS,
+    pred_ns: str = _NT_PRED_NS,
+) -> DataFrame:
+    """Serialize (subj, pred, obj, obj_type) → one N-Triples line per
+    row, column ``nt``.  Mapping (documented, deterministic):
+
+      * subjects are always nodes → ``<{node_ns}{subj}>``
+      * pred ``@type`` → the rdf:type IRI; every other predicate is a
+        schema.org term → ``<{pred_ns}{pred}>``
+      * obj_type 'node' → ``<{node_ns}{obj}>``; otherwise a quoted
+        STRING_LITERAL_QUOTE with grammar-exact escaping.
+
+    ``df.write.text(path)`` on the result is the bulk sink (one .nt
+    shard per partition — the splittable load format triple stores
+    expect).  Round-trips bit-exactly through from_ntriples (pytest)."""
+    subj = F.concat(F.lit("<" + node_ns), F.col("subj"), F.lit(">"))
+    pred = F.when(
+        F.col("pred") == "@type", F.lit("<" + _RDF_TYPE_IRI + ">")
+    ).otherwise(F.concat(F.lit("<" + pred_ns), F.col("pred"), F.lit(">")))
+    obj = F.when(
+        F.col("obj_type") == "node",
+        F.concat(F.lit("<" + node_ns), F.col("obj"), F.lit(">")),
+    ).otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
+    return triples.select(
+        F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("nt")
+    )
+
+
+def from_ntriples(
+    lines: DataFrame,
+    col: str = "nt",
+    node_ns: str = _NT_NODE_NS,
+    pred_ns: str = _NT_PRED_NS,
+) -> DataFrame:
+    """Parse N-Triples lines (as produced by to_ntriples) back to the
+    canonical (subj, pred, obj, obj_type) table.  Pure regexp_extract
+    per line — no shuffle, no UDF; malformed lines (no grammar match)
+    are dropped, comment/blank lines ignored per spec."""
+    ln = F.trim(F.col(col))
+    # [7] IRIREF subject, [6] predicate IRI, then object = IRIREF |
+    # STRING_LITERAL_QUOTE; object pattern is greedy-safe because the
+    # literal form escapes every interior quote.
+    pat = r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)") \.$'
+    p = lines.select(
+        F.regexp_extract(ln, pat, 1).alias("_s"),
+        F.regexp_extract(ln, pat, 2).alias("_p"),
+        F.regexp_extract(ln, pat, 3).alias("_on"),
+        F.regexp_extract(ln, pat, 4).alias("_ol"),
+        ln.rlike(pat).alias("_ok"),
+    ).filter(F.col("_ok"))
+    subj = F.regexp_replace(F.col("_s"), "^" + node_ns, "")
+    pred = F.when(F.col("_p") == _RDF_TYPE_IRI, F.lit("@type")).otherwise(
+        F.regexp_replace(F.col("_p"), "^" + pred_ns, "")
+    )
+    is_node = F.col("_on") != ""
+    obj = F.when(is_node, F.regexp_replace(F.col("_on"), "^" + node_ns, "")
+                 ).otherwise(_nt_unescape(F.col("_ol")))
+    obj_type = F.when(is_node, F.lit("node")).otherwise(F.lit("literal"))
+    return p.select(
+        subj.alias("subj"), pred.alias("pred"),
+        obj.alias("obj"), obj_type.alias("obj_type"),
+    )

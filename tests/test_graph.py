@@ -358,3 +358,60 @@ def test_bgp_join_order_and_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
     rows = {(r["d"], r["pname"]) for r in out.collect()}
     assert rows == {("doc:1", "Alice"), ("doc:2", "Alice")}
+
+
+# ----------------------------------------------------------- N-Triples ---
+def _nt_corpus(spark):
+    rows = [
+        ("doc:1", "mentions", "ent:7", "node"),
+        ("ent:7", "@type", "Person", "literal"),
+        ("ent:7", "name", 'Ada "the analyst" Lovelace', "literal"),
+        ("ent:7", "description", "line1\nline2\r\ttabbed", "literal"),
+        ("ent:8", "name", "back\\slash", "literal"),
+        ("ent:8", "note", "tricky \\t not-a-tab", "literal"),
+        ("ent:9", "note", "", "literal"),
+        ("ent:9", "note2", "ends with backslash\\", "literal"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, obj_type string")
+
+
+def test_ntriples_roundtrip_bit_exact(spark):
+    from kgc.triples import from_ntriples, to_ntriples
+
+    df = _nt_corpus(spark)
+    back = from_ntriples(to_ntriples(df))
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_ntriples_grammar_shape(spark):
+    from kgc.triples import to_ntriples
+
+    lines = {r.nt for r in to_ntriples(_nt_corpus(spark)).collect()}
+    assert "<kgc:doc:1> <https://schema.org/mentions> <kgc:ent:7> ." in lines
+    assert (
+        "<kgc:ent:7> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        '"Person" .' in lines
+    )
+    # escaping: every line is single-line ASCII-printable control-free
+    for ln in lines:
+        assert "\n" not in ln and "\r" not in ln and "\t" not in ln
+        assert ln.endswith(" .")
+    assert '"back\\\\slash"' in " ".join(lines)
+
+
+def test_ntriples_parser_skips_malformed_and_comments(spark):
+    from kgc.triples import from_ntriples
+
+    src = spark.createDataFrame(
+        [
+            ("# a comment line",),
+            ("",),
+            ("<kgc:a> <https://schema.org/name> \"ok\" .",),
+            ("<kgc:a> <https://schema.org/name> missing-quotes .",),
+        ],
+        "nt string",
+    )
+    out = from_ntriples(src).collect()
+    assert len(out) == 1 and out[0].obj == "ok"
