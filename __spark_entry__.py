@@ -1157,9 +1157,11 @@ def q_graph_suite(spark, sf_dir):
     pattern) + RDFS domain validation of the emitted triples +
     per-entity triangle counts / clustering coefficient over the
     co-mention graph (degree-ordered orientation) + a BGP query over
-    the constructed KG (kgc.graph.bgp_query: SPARQL-style triple
-    patterns compiled to selectivity-ordered self-joins — here the
-    5-pattern person-colocated-with-place chain+star) + the W3C
+    the constructed KG (kgc.graph.sparql_query: SPARQL-subset TEXT —
+    SELECT/DISTINCT/OPTIONAL/FILTER/ORDER/LIMIT/property-path `p+` —
+    parsed and compiled onto bgp_query's selectivity-ordered
+    self-joins; here the 5-pattern person-colocated-with-place
+    chain+star, so the driver row pins parser + engine) + the W3C
     N-Triples serialization of the entity-triple table
     (kgc.triples.to_ntriples: grammar-exact STRING_LITERAL_QUOTE
     escaping, rdf:type mapping — the KG interchange/bulk-load format;
@@ -1189,19 +1191,14 @@ def q_graph_suite(spark, sf_dir):
                     F.col("n_triangles").cast("string"),
                     F.col("clustering_ppm").cast("string")),
     )
-    from kgc.graph import bgp_query
+    from kgc.graph import sparql_query
 
     bgp = _leg(
-        bgp_query(
+        sparql_query(
             q_entity_triples(spark, sf_dir),
-            [
-                ("?d", "mentions", "?p"),
-                ("?p", "@type", "Person"),
-                ("?p", "name", "?pname"),
-                ("?d", "locations", "?pl"),
-                ("?pl", "name", "?plname"),
-            ],
-            distinct=True,
+            """SELECT DISTINCT ?d ?p ?pl ?pname ?plname WHERE {
+                 ?d mentions ?p . ?p "@type" Person . ?p name ?pname .
+                 ?d locations ?pl . ?pl name ?plname }""",
         ),
         "bgp",
         F.concat_ws("|", F.col("d"), F.col("p"), F.col("pl")),

@@ -32,6 +32,8 @@ Scale mechanics:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -477,3 +479,229 @@ def bgp_query(
         out = out.join(leg, on=shared, how="left")
         bound |= vars_
     return out.dropDuplicates() if distinct else out
+
+
+# ------------------------------------------------------ SPARQL front-end ---
+# A deterministic text front-end for bgp_query: the subset of SPARQL 1.1
+# a warehouse KG consumer actually runs against a (subj, pred, obj)
+# table —
+#
+#   SELECT [DISTINCT] (?v ... | *)
+#   WHERE { tp . tp ... [OPTIONAL { tp ... }] [FILTER (?x op term)] ... }
+#   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n]
+#
+# plus the one property-path form that matters for RDFS-style KGs:
+# a predicate written `p+` (one-or-more) expands to the path-doubling
+# transitive closure of that predicate's edge set (transitive_closure
+# above, log-depth joins), union'd into the pattern source under the
+# reserved predicate name `p+` — the rest of the query planner is
+# unchanged and the closure leg joins like any other pattern.
+#
+# No triple store, no dedicated engine: parse → bgp_query → Catalyst.
+# The reference emits the KG (internal/jsonld/converter.go:52-94) but
+# ships no query layer; this is the missing consumer surface, and at
+# 10^12 triples it must run ON the warehouse copy.
+
+_SPARQL_TOKEN = re.compile(
+    r"""\?[A-Za-z_]\w*      # variable
+      | <[^>]*>\+?          # IRI ref, optional + path
+      | "(?:[^"\\]|\\.)*"   # quoted literal
+      | [{}().]             # punctuation
+      | [^\s{}()."]+        # bare term / keyword
+    """,
+    re.VERBOSE,
+)
+
+_FILTER_OPS = {"=", "!=", "<", ">", "<=", ">="}
+
+
+def _sparql_unquote(tok: str) -> str:
+    """Constant term normalization: strip <> from IRIs (keeping a
+    trailing + path marker), decode \\-escapes in quoted literals."""
+    path = tok.endswith("+") and tok.startswith("<")
+    if path:
+        tok = tok[:-1]
+    if tok.startswith("<") and tok.endswith(">"):
+        tok = tok[1:-1]
+    elif tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        body, out, i = tok[1:-1], [], 0
+        sub = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body):
+                out.append(sub.get(body[i + 1], body[i + 1]))
+                i += 2
+            else:
+                out.append(body[i])
+                i += 1
+        tok = "".join(out)
+    return tok + "+" if path else tok
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse the SPARQL subset to a plain dict:
+    {select, distinct, patterns, optional, filters, order, limit}.
+    Raises ValueError with position context on anything outside the
+    subset — a silent mis-parse against a 10^12-row table is a far
+    worse failure than a loud one."""
+    toks = _SPARQL_TOKEN.findall(re.sub(r"#[^\n]*", " ", text))
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expect: str | None = None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of query (wanted {expect})")
+        t = toks[pos]
+        if expect and t.upper() != expect:
+            raise ValueError(f"expected {expect}, got {t!r} at token {pos}")
+        pos += 1
+        return t
+
+    def is_term(t):
+        return t is not None and t not in "{}()." and t.upper() not in (
+            "OPTIONAL", "FILTER", "WHERE", "LIMIT", "ORDER", "BY",
+        )
+
+    def triple_block():
+        pats = []
+        while is_term(peek()):
+            s, p, o = (_sparql_unquote(take()) for _ in range(3))
+            pats.append((s, p, o))
+            if peek() == ".":
+                take()
+        return pats
+
+    take("SELECT")
+    distinct = peek() is not None and peek().upper() == "DISTINCT"
+    if distinct:
+        take()
+    select: list[str] | None = []
+    if peek() == "*":
+        take()
+        select = None
+    else:
+        while peek() is not None and peek().startswith("?"):
+            select.append(take()[1:])
+        if not select:
+            raise ValueError("SELECT needs ?vars or *")
+    take("WHERE")
+    take("{")
+    patterns, optional, filters = [], [], []
+    while peek() != "}":
+        t = peek()
+        if t is None:
+            raise ValueError("unterminated WHERE group")
+        if t.upper() == "OPTIONAL":
+            take()
+            take("{")
+            optional.extend(triple_block())
+            take("}")
+        elif t.upper() == "FILTER":
+            take()
+            take("(")
+            lhs = _sparql_unquote(take())
+            op = take()
+            if op not in _FILTER_OPS:
+                raise ValueError(f"unsupported FILTER operator {op!r}")
+            rhs = _sparql_unquote(take())
+            take(")")
+            filters.append((lhs, op, rhs))
+        else:
+            got = triple_block()
+            if not got:
+                raise ValueError(f"unexpected token {t!r} in WHERE group")
+            patterns.extend(got)
+        if peek() == ".":
+            take()
+    take("}")
+    order: list[tuple[str, bool]] = []
+    limit = None
+    while peek() is not None:
+        t = take()
+        if t.upper() == "ORDER":
+            take("BY")
+            while peek() is not None and (
+                peek().startswith("?") or peek().upper() in ("ASC", "DESC")
+            ):
+                d = take()
+                if d.upper() in ("ASC", "DESC"):
+                    take("(")
+                    order.append((take()[1:], d.upper() == "ASC"))
+                    take(")")
+                else:
+                    order.append((d[1:], True))
+        elif t.upper() == "LIMIT":
+            limit = int(take())
+        else:
+            raise ValueError(f"unexpected trailing token {t!r}")
+    return {
+        "select": select, "distinct": distinct, "patterns": patterns,
+        "optional": optional, "filters": filters, "order": order,
+        "limit": limit,
+    }
+
+
+def _expand_property_paths(
+    triples: DataFrame, patterns: list, optional: list
+) -> DataFrame:
+    """For every `p+` predicate used in a pattern, union the transitive
+    closure of p's edge set into the pattern source under the reserved
+    name `p+`.  One closure computation per distinct path predicate;
+    the closure subgraph is tiny relative to the fact table (it is one
+    predicate's edges), so the union costs a scan, not a shuffle."""
+    src = triples.select("subj", "pred", "obj")
+    path_preds = {
+        p[:-1]
+        for _, p, _ in (*patterns, *optional)
+        if not p.startswith("?") and p.endswith("+")
+    }
+    for base in sorted(path_preds):
+        edges = (
+            src.filter(F.col("pred") == base)
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+        clo = transitive_closure(edges).select(
+            F.col("src").alias("subj"),
+            F.lit(base + "+").alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+        src = src.unionByName(clo)
+    return src
+
+
+def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """Run a SPARQL-subset query string against a (subj, pred, obj[,
+    obj_type]) triple table.  parse_sparql → property-path expansion →
+    bgp_query (selectivity-ordered equi-joins, broadcast dimension
+    legs) → FILTER/projection/ORDER/LIMIT as plain Catalyst ops.
+    FILTER comparisons are string-typed, matching the triple table;
+    ORDER BY is required for a deterministic LIMIT and that contract
+    is the caller's (same as SQL)."""
+    q = parse_sparql(text)
+    src = _expand_property_paths(triples, q["patterns"], q["optional"])
+    out = bgp_query(
+        src, q["patterns"], optional=q["optional"],
+        distinct=False, **bgp_kwargs,
+    )
+    for lhs, op, rhs in q["filters"]:
+        lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
+        rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
+        cond = {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+        }[op]
+        out = out.filter(cond)
+    if q["select"] is not None:
+        out = out.select(*q["select"])
+    if q["distinct"]:
+        out = out.dropDuplicates()
+    if q["order"]:
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc()
+              for v, asc in q["order"]]
+        )
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out

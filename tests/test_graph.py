@@ -415,3 +415,107 @@ def test_ntriples_parser_skips_malformed_and_comments(spark):
     )
     out = from_ntriples(src).collect()
     assert len(out) == 1 and out[0].obj == "ok"
+
+
+# ------------------------------------------------------------- SPARQL ---
+def _kg(spark):
+    rows = [
+        ("doc:1", "mentions", "ent:1", "node"),
+        ("doc:1", "mentions", "ent:2", "node"),
+        ("doc:2", "mentions", "ent:2", "node"),
+        ("ent:1", "@type", "Person", "literal"),
+        ("ent:2", "@type", "Place", "literal"),
+        ("ent:1", "name", "Ada", "literal"),
+        ("ent:2", "name", "Paris", "literal"),
+        ("Person", "subClassOf", "Agent", "node"),
+        ("Agent", "subClassOf", "Thing", "node"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string"
+    )
+
+
+def test_parse_sparql_structure():
+    from kgc.graph import parse_sparql
+
+    q = parse_sparql(
+        'SELECT DISTINCT ?d ?n WHERE { ?d mentions ?e . ?e "@type" Person .'
+        " OPTIONAL { ?e name ?n } FILTER (?d != \"doc:9\") }"
+        " ORDER BY ?d DESC(?n) LIMIT 5"
+    )
+    assert q["select"] == ["d", "n"] and q["distinct"]
+    assert q["patterns"] == [("?d", "mentions", "?e"), ("?e", "@type", "Person")]
+    assert q["optional"] == [("?e", "name", "?n")]
+    assert q["filters"] == [("?d", "!=", "doc:9")]
+    assert q["order"] == [("d", True), ("n", False)] and q["limit"] == 5
+
+
+def test_sparql_matches_bgp(spark):
+    from kgc.graph import bgp_query, sparql_query
+
+    kg = _kg(spark)
+    pats = [("?d", "mentions", "?e"), ("?e", "name", "?n")]
+    want = sorted(
+        (r.d, r.e, r.n)
+        for r in bgp_query(kg, pats, distinct=True).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sparql_query(
+            kg, "SELECT DISTINCT ?d ?e ?n WHERE { ?d mentions ?e . ?e name ?n }"
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_sparql_optional_filter_order_limit(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT ?e ?t WHERE { ?d mentions ?e . OPTIONAL { ?e "@type" ?t } '
+        'FILTER (?t = Place) } ORDER BY ?e LIMIT 2',
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:2", "Place"), ("ent:2", "Place")]
+    # OPTIONAL leaves unmatched bindings NULL (no filter this time)
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e ?x WHERE { ?d mentions ?e . "
+        "OPTIONAL { ?e nosuchpred ?x } } ORDER BY ?e",
+    ).collect()
+    assert [r.x for r in rows] == [None, None]
+
+
+def test_sparql_property_path_closure(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT ?a WHERE { Person subClassOf+ ?a } ORDER BY ?a',
+    ).collect()
+    assert [r.a for r in rows] == ["Agent", "Thing"]
+    # path + join: entities whose type transitively reaches Thing
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e "@type" ?t . ?t subClassOf+ Thing }',
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1"]
+
+
+def test_sparql_rejects_junk(spark):
+    import pytest as _pt
+
+    from kgc.graph import parse_sparql, sparql_query
+
+    with _pt.raises(ValueError):
+        parse_sparql("SELECT WHERE { ?a b ?c }")
+    with _pt.raises(ValueError):
+        parse_sparql("SELECT ?a WHERE { ?a b ?c } FROB 3")
+    with _pt.raises(ValueError):
+        parse_sparql("SELECT ?a WHERE { ?a b ?c . FILTER (?a ~ ?c) }")
+    with _pt.raises(ValueError):  # disconnected product refused
+        sparql_query(
+            _kg(spark), "SELECT ?a ?x WHERE { ?a mentions ?b . ?x name ?y }"
+        ).collect()
