@@ -1166,8 +1166,13 @@ def q_graph_suite(spark, sf_dir):
     (kgc.triples.to_ntriples: grammar-exact STRING_LITERAL_QUOTE
     escaping, rdf:type mapping — the KG interchange/bulk-load format;
     leg key = md5(line), out = the line itself, so the oracle pins the
-    serialization byte-for-byte).  Legs tagged (fn, key, out); ints
-    ride as strings (formatting-exact); clustering rides 1e6-scaled."""
+    serialization byte-for-byte) + SPARQL GROUP BY aggregation
+    (kgc.graph.sparql_aggregate — COUNT DISTINCT per entity) + SPARQL
+    CONSTRUCT → derived KG → N-Triples (kgc.graph.sparql_construct
+    feeding to_ntriples: the leg's bytes pin query-text → template
+    instantiation → serialization end-to-end).  Legs tagged (fn, key,
+    out); ints ride as strings (formatting-exact); clustering rides
+    1e6-scaled."""
     closure = _leg(
         q_subclass_closure(spark, sf_dir), "closure",
         F.concat(F.col("type_id"), F.lit("|"), F.col("ancestor_id")),
@@ -1204,15 +1209,35 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("d"), F.col("p"), F.col("pl")),
         F.concat_ws("|", F.col("pname"), F.col("plname")),
     )
+    from kgc.graph import sparql_aggregate, sparql_construct
     from kgc.triples import to_ntriples
 
     nt = _leg(
         to_ntriples(q_entity_triples(spark, sf_dir)), "ntriples",
         F.md5(F.col("nt")), F.col("nt"),
     )
+    agg = _leg(
+        sparql_aggregate(
+            q_entity_triples(spark, sf_dir),
+            "SELECT ?e (COUNT(DISTINCT ?d) AS ?nd) "
+            "WHERE { ?d mentions ?e } GROUP BY ?e",
+        ),
+        "sparql_agg", F.col("e"), F.col("nd").cast("string"),
+    )
+    con = _leg(
+        to_ntriples(
+            sparql_construct(
+                q_entity_triples(spark, sf_dir),
+                'CONSTRUCT { ?d cites ?p } '
+                'WHERE { ?d mentions ?p . ?p "@type" Person }',
+            )
+        ),
+        "construct", F.md5(F.col("nt")), F.col("nt"),
+    )
     return (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
+        .unionByName(agg).unionByName(con)
     )
 
 
@@ -3989,7 +4014,17 @@ SELECT 'ntriples', md5(line), line FROM (
                    chr(92), chr(92) || chr(92)), '"', chr(92) || '"'),
                    chr(10), chr(92) || 'n'), chr(13), chr(92) || 'r'),
                    chr(9), chr(92) || 't') || '"' END || ' .' AS line
-  FROM etrip)"""
+  FROM etrip)
+UNION ALL
+SELECT 'sparql_agg', obj, count(DISTINCT subj)::VARCHAR
+FROM etrip WHERE pred = 'mentions' GROUP BY obj
+UNION ALL
+SELECT 'construct', md5(line), line FROM (
+  SELECT DISTINCT '<kgc:' || m.subj || '> <https://schema.org/cites> <kgc:'
+         || m.obj || '> .' AS line
+  FROM etrip m
+  JOIN etrip t ON t.subj = m.obj AND t.pred = '@type' AND t.obj = 'Person'
+  WHERE m.pred = 'mentions')"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

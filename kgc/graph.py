@@ -705,3 +705,150 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
+
+
+# SPARQL aggregates + CONSTRUCT — the rest of the consumer surface.
+#
+#   SELECT ?g (COUNT(?x) AS ?n) ... WHERE {...} GROUP BY ?g [HAVING..?no]
+#   CONSTRUCT { tp . tp ... } WHERE {...}
+#
+# Aggregates compile to one Catalyst groupBy (hash aggregate with
+# map-side partials — the scale shape); CONSTRUCT instantiates each
+# template pattern as a projection over the solution set and unions the
+# instantiations back into (subj, pred, obj) rows, deduplicated per RDF
+# set semantics.  A constructed graph feeds kgc.triples.to_ntriples
+# directly: query → derived KG → interchange file, all in one plan.
+
+_AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max,
+            "AVG": F.avg}
+
+_SELECT_AGG = re.compile(
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?[A-Za-z_]\w*|\*)\s*\)"
+    r"\s+AS\s+(\?[A-Za-z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """SPARQL GROUP BY aggregation over a triple table.  Grammar:
+
+      SELECT ?g ... (AGG(?v|*) AS ?alias) ... WHERE { ... } GROUP BY ?g ...
+      [ORDER BY ...] [LIMIT n]
+
+    AGG ∈ COUNT|SUM|MIN|MAX|AVG; COUNT(DISTINCT ?v) supported.  SUM/AVG
+    cast the (string-typed) binding to double — the caller owns numeric
+    determinism, same as SQL.  The WHERE group reuses the full subset
+    grammar (OPTIONAL/FILTER/property paths)."""
+    aggs = []
+
+    def lift(m):
+        fn, dist, var, alias = (
+            m.group(1).upper(), bool(m.group(2)), m.group(3), m.group(4)[1:],
+        )
+        aggs.append((fn, dist, None if var == "*" else var[1:], alias))
+        return ""  # remove from the SELECT list the base parser sees
+
+    lifted = _SELECT_AGG.sub(lift, text)
+    mg = re.search(r"GROUP\s+BY((?:\s+\?[A-Za-z_]\w*)+)", lifted, re.IGNORECASE)
+    if mg:
+        lifted = lifted[: mg.start()] + " " + lifted[mg.end():]
+    group_vars = re.findall(r"\?([A-Za-z_]\w*)", mg.group(1)) if mg else []
+    if not aggs:
+        raise ValueError("sparql_aggregate needs at least one (AGG(...) AS ?x)")
+    # a SELECT of only aggregates leaves no projection vars — bind all
+    lifted = re.sub(r"(?i)^(\s*SELECT\s+(?:DISTINCT\s+)?)(?=WHERE\b)",
+                    r"\g<1>* ", lifted)
+
+    q = parse_sparql(lifted)
+    src = _expand_property_paths(triples, q["patterns"], q["optional"])
+    out = bgp_query(src, q["patterns"], optional=q["optional"], **bgp_kwargs)
+    for lhs, op, rhs in q["filters"]:
+        lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
+        rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
+        out = out.filter(
+            {"=": lc == rc, "!=": lc != rc, "<": lc < rc, ">": lc > rc,
+             "<=": lc <= rc, ">=": lc >= rc}[op]
+        )
+    exprs = []
+    for fn, dist, var, alias in aggs:
+        col = F.col(var) if var else F.lit(1)
+        if fn in ("SUM", "AVG") and var:
+            col = col.cast("double")
+        if dist:
+            if fn != "COUNT":
+                raise ValueError("DISTINCT only supported under COUNT")
+            exprs.append(F.count_distinct(col).alias(alias))
+        else:
+            exprs.append(_AGG_FNS[fn](col).alias(alias))
+    out = out.groupBy(*group_vars).agg(*exprs) if group_vars else out.agg(*exprs)
+    if q["order"]:
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc()
+              for v, asc in q["order"]]
+        )
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate a triple template over every
+    solution of the WHERE group, returning a derived (subj, pred, obj,
+    obj_type) KG (RDF set semantics — deduplicated).  Template terms
+    may be variables or constants; a variable bound to NULL (via
+    OPTIONAL) drops that instantiation row, per spec.  obj_type is
+    'node' when the template object is a variable that was bound from
+    a subject position or an explicit <iri> constant, else 'literal' —
+    documented approximation over an untyped triple table."""
+    m = re.match(r"\s*CONSTRUCT\s*\{(.*?)\}\s*(WHERE\s*\{.*)", text,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError("expected CONSTRUCT { template } WHERE { ... }")
+    tmpl_toks = _SPARQL_TOKEN.findall(m.group(1))
+    tmpl, cur = [], []
+    for t in tmpl_toks:
+        if t == ".":
+            continue
+        cur.append(_sparql_unquote(t))
+        if len(cur) == 3:
+            tmpl.append(tuple(cur))
+            cur = []
+    if cur or not tmpl:
+        raise ValueError("CONSTRUCT template must be whole triples")
+    sols = sparql_query(triples, "SELECT * " + m.group(2), **bgp_kwargs)
+
+    subj_vars = {p[0][1:] for p in tmpl if p[0].startswith("?")}
+    where_subj_vars = set()
+    wq = parse_sparql("SELECT * " + m.group(2))
+    for s, _, _ in (*wq["patterns"], *wq["optional"]):
+        if s.startswith("?"):
+            where_subj_vars.add(s[1:])
+
+    def term(t, pos):
+        if t.startswith("?"):
+            c = F.col(t[1:])
+            is_node = t[1:] in where_subj_vars
+        else:
+            c, is_node = F.lit(t), False
+        if pos == "obj":
+            return c, F.lit("node" if t.startswith("?") and is_node else "literal")
+        return c
+
+    parts = []
+    for s, p, o in tmpl:
+        oc, ot = term(o, "obj")
+        row = sols.select(
+            term(s, "subj").alias("subj"),
+            term(p, "pred").alias("pred"),
+            oc.alias("obj"),
+            ot.alias("obj_type"),
+        ).filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["subj", "pred", "obj"])

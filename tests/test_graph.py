@@ -519,3 +519,51 @@ def test_sparql_rejects_junk(spark):
         sparql_query(
             _kg(spark), "SELECT ?a ?x WHERE { ?a mentions ?b . ?x name ?y }"
         ).collect()
+
+
+def test_sparql_aggregate_groupby(spark):
+    from kgc.graph import sparql_aggregate
+
+    kg = _kg(spark)
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (COUNT(*) AS ?n) (COUNT(DISTINCT ?d) AS ?nd) "
+        "WHERE { ?d mentions ?e } GROUP BY ?e ORDER BY ?e",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", 1, 1), ("ent:2", 2, 2)]
+    # global aggregate (no GROUP BY)
+    one = sparql_aggregate(
+        kg, "SELECT (COUNT(*) AS ?n) WHERE { ?d mentions ?e }"
+    ).collect()
+    assert one[0].n == 3
+
+
+def test_sparql_construct_derived_kg_roundtrips(spark):
+    from kgc.graph import sparql_construct
+    from kgc.triples import from_ntriples, to_ntriples
+
+    kg = _kg(spark)
+    derived = sparql_construct(
+        kg,
+        'CONSTRUCT { ?d cites ?e . ?e "@type" Cited } '
+        "WHERE { ?d mentions ?e . ?e name ?n }",
+    )
+    got = sorted(tuple(r) for r in derived.collect())
+    assert ("doc:1", "cites", "ent:1", "node") in got
+    assert ("ent:2", "@type", "Cited", "literal") in got
+    assert len(got) == 5  # 3 cites + 2 typed entities
+    # derived KG → N-Triples → parse: bit-exact round trip
+    back = sorted(tuple(r) for r in from_ntriples(to_ntriples(derived)).collect())
+    assert back == got
+
+
+def test_sparql_construct_optional_null_drops(spark):
+    from kgc.graph import sparql_construct
+
+    kg = _kg(spark)
+    out = sparql_construct(
+        kg,
+        "CONSTRUCT { ?e hasX ?x } "
+        "WHERE { ?d mentions ?e . OPTIONAL { ?e nosuchpred ?x } }",
+    ).collect()
+    assert out == []
