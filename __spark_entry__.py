@@ -1126,7 +1126,7 @@ def q_entity_cocitation(spark, sf_dir):
     )
 
 
-def q_validate_triples(spark, sf_dir):
+def q_validate_triples(spark, sf_dir, trip=None):
     """RDFS-style domain validation of the constructed KG
     (kgc.triples.validate_triples): subjects are typed from the @type
     triples (entities) plus the main-type classifier (documents), and
@@ -1139,7 +1139,8 @@ def q_validate_triples(spark, sf_dir):
     from kgc.triples import validate_triples
     from kgc.vocab import load_schemaorg
 
-    trip = q_entity_triples(spark, sf_dir)
+    if trip is None:
+        trip = q_entity_triples(spark, sf_dir)
     doc_typing = q_main_type(spark, sf_dir).select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
         F.lit("@type").alias("pred"),
@@ -1173,6 +1174,15 @@ def q_graph_suite(spark, sf_dir):
     instantiation → serialization end-to-end).  Legs tagged (fn, key,
     out); ints ride as strings (formatting-exact); clustering rides
     1e6-scaled."""
+    # ONE persisted entity-triple table feeds all six KG-consumer legs
+    # (validate, bgp, ntriples, sparql_agg, construct — and the bgp
+    # leg's five pattern scans): the link pipeline executes once, not
+    # per leg.  Persist is mandatory for multi-consumption of an
+    # Arrow-UDF subtree (Spark 4.1 re-clones the dedup'd subtree
+    # otherwise) and is released by verify/bench via _kgc_pinned →
+    # kgc.pipeline.release.
+    et = q_entity_triples(spark, sf_dir).persist()
+
     closure = _leg(
         q_subclass_closure(spark, sf_dir), "closure",
         F.concat(F.col("type_id"), F.lit("|"), F.col("ancestor_id")),
@@ -1185,7 +1195,7 @@ def q_graph_suite(spark, sf_dir):
         F.col("n_shared").cast("string"),
     )
     validate = _leg(
-        q_validate_triples(spark, sf_dir), "validate",
+        q_validate_triples(spark, sf_dir, trip=et), "validate",
         F.concat(F.col("subj"), F.lit("|"), F.col("pred")),
         F.col("verdict"),
     )
@@ -1200,7 +1210,7 @@ def q_graph_suite(spark, sf_dir):
 
     bgp = _leg(
         sparql_query(
-            q_entity_triples(spark, sf_dir),
+            et,
             """SELECT DISTINCT ?d ?p ?pl ?pname ?plname WHERE {
                  ?d mentions ?p . ?p "@type" Person . ?p name ?pname .
                  ?d locations ?pl . ?pl name ?plname }""",
@@ -1213,12 +1223,12 @@ def q_graph_suite(spark, sf_dir):
     from kgc.triples import to_ntriples
 
     nt = _leg(
-        to_ntriples(q_entity_triples(spark, sf_dir)), "ntriples",
+        to_ntriples(et), "ntriples",
         F.md5(F.col("nt")), F.col("nt"),
     )
     agg = _leg(
         sparql_aggregate(
-            q_entity_triples(spark, sf_dir),
+            et,
             "SELECT ?e (COUNT(DISTINCT ?d) AS ?nd) "
             "WHERE { ?d mentions ?e } GROUP BY ?e",
         ),
@@ -1227,18 +1237,20 @@ def q_graph_suite(spark, sf_dir):
     con = _leg(
         to_ntriples(
             sparql_construct(
-                q_entity_triples(spark, sf_dir),
+                et,
                 'CONSTRUCT { ?d cites ?p } '
                 'WHERE { ?d mentions ?p . ?p "@type" Person }',
             )
         ),
         "construct", F.md5(F.col("nt")), F.col("nt"),
     )
-    return (
+    out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
         .unionByName(agg).unionByName(con)
     )
+    out._kgc_pinned = [et]  # released by kgc.pipeline.release
+    return out
 
 
 def q_dup_ngrams(spark, sf_dir):
