@@ -1171,7 +1171,10 @@ def q_graph_suite(spark, sf_dir):
     (kgc.graph.sparql_aggregate — COUNT DISTINCT per entity) + SPARQL
     CONSTRUCT → derived KG → N-Triples (kgc.graph.sparql_construct
     feeding to_ntriples: the leg's bytes pin query-text → template
-    instantiation → serialization end-to-end).  Legs tagged (fn, key,
+    instantiation → serialization end-to-end) + SPARQL group algebra
+    (leg sparql_ops: three-branch UNION over the doc→entity predicate
+    taxonomy, a VALUES type probe, MINUS negation on docs with a
+    locations edge — kgc.graph._solve_where).  Legs tagged (fn, key,
     out); ints ride as strings (formatting-exact); clustering rides
     1e6-scaled."""
     # ONE persisted entity-triple table feeds all six KG-consumer legs
@@ -1244,10 +1247,28 @@ def q_graph_suite(spark, sf_dir):
         ),
         "construct", F.md5(F.col("nt")), F.col("nt"),
     )
+    # group algebra: three-branch UNION over the doc→entity predicate
+    # taxonomy, a VALUES probe that keeps only three of the six entity
+    # types (selective on the about-branch), and MINUS negation
+    # removing every doc that has a locations edge — the three SPARQL
+    # verbs added in r4, pinned end-to-end against a pure-SQL oracle.
+    ops = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?d ?e ?t WHERE {
+                 { ?d mentions ?e } UNION { ?d events ?e } UNION { ?d about ?e }
+                 ?e "@type" ?t .
+                 VALUES ?t { Person Event Organization }
+                 MINUS { ?d locations ?loc } }""",
+        ),
+        "sparql_ops",
+        F.concat_ws("|", F.col("d"), F.col("e")),
+        F.col("t"),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
-        .unionByName(agg).unionByName(con)
+        .unionByName(agg).unionByName(con).unionByName(ops)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4036,7 +4057,14 @@ SELECT 'construct', md5(line), line FROM (
          || m.obj || '> .' AS line
   FROM etrip m
   JOIN etrip t ON t.subj = m.obj AND t.pred = '@type' AND t.obj = 'Person'
-  WHERE m.pred = 'mentions')"""
+  WHERE m.pred = 'mentions')
+UNION ALL
+SELECT DISTINCT 'sparql_ops', u.subj || '|' || u.obj, t.obj
+FROM etrip u
+JOIN etrip t ON t.subj = u.obj AND t.pred = '@type'
+WHERE u.pred IN ('mentions', 'events', 'about')
+  AND t.obj IN ('Person', 'Event', 'Organization')
+  AND u.subj NOT IN (SELECT subj FROM etrip WHERE pred = 'locations')"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

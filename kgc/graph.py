@@ -487,7 +487,12 @@ def bgp_query(
 # table —
 #
 #   SELECT [DISTINCT] (?v ... | *)
-#   WHERE { tp . tp ... [OPTIONAL { tp ... }] [FILTER (?x op term)] ... }
+#   WHERE { tp . tp ...
+#           [OPTIONAL { tp ... }]
+#           [FILTER ((?x op term) | regex(?x, "pat"[, "i"]) | [!]bound(?x))]
+#           [{ tp ... } UNION { tp ... } [UNION ...]]
+#           [MINUS { tp ... }]
+#           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]  ... }
 #   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n]
 #
 # plus the one property-path form that matters for RDFS-style KGs:
@@ -539,10 +544,15 @@ def _sparql_unquote(tok: str) -> str:
 
 def parse_sparql(text: str) -> dict:
     """Parse the SPARQL subset to a plain dict:
-    {select, distinct, patterns, optional, filters, order, limit}.
-    Raises ValueError with position context on anything outside the
-    subset — a silent mis-parse against a 10^12-row table is a far
-    worse failure than a loud one."""
+    {select, distinct, patterns, optional, filters, order, limit,
+    unions, minus, values}.  ``filters`` entries are tagged:
+    ("cmp", lhs, op, rhs) | ("regex", var, pat, flags) |
+    ("bound", var, positive).  ``unions`` is a list of blocks, each a
+    list of branch pattern-lists; ``minus`` a list of pattern-lists;
+    ``values`` a list of (vars, rows) with None for UNDEF.  Raises
+    ValueError with position context on anything outside the subset —
+    a silent mis-parse against a 10^12-row table is a far worse
+    failure than a loud one."""
     toks = _SPARQL_TOKEN.findall(re.sub(r"#[^\n]*", " ", text))
     pos = 0
 
@@ -562,6 +572,7 @@ def parse_sparql(text: str) -> dict:
     def is_term(t):
         return t is not None and t not in "{}()." and t.upper() not in (
             "OPTIONAL", "FILTER", "WHERE", "LIMIT", "ORDER", "BY",
+            "UNION", "MINUS", "VALUES", "UNDEF",
         )
 
     def triple_block():
@@ -589,25 +600,117 @@ def parse_sparql(text: str) -> dict:
     take("WHERE")
     take("{")
     patterns, optional, filters = [], [], []
+    unions, minus, values = [], [], []
+
+    def braced_block():
+        take("{")
+        pats = triple_block()
+        take("}")
+        return pats
+
+    def values_block():
+        """VALUES ?v { t ... }  |  VALUES (?a ?b) { (t t) ... }"""
+        if peek() == "(":
+            take()
+            vars_ = []
+            while peek() is not None and peek().startswith("?"):
+                vars_.append(take()[1:])
+            take(")")
+            if not vars_:
+                raise ValueError("VALUES needs at least one ?var")
+            take("{")
+            rows = []
+            while peek() == "(":
+                take()
+                row = []
+                while peek() is not None and peek() != ")":
+                    tok = take()
+                    row.append(
+                        None if tok.upper() == "UNDEF" else _sparql_unquote(tok)
+                    )
+                take(")")
+                if len(row) != len(vars_):
+                    raise ValueError(
+                        f"VALUES row arity {len(row)} != vars {len(vars_)}"
+                    )
+                rows.append(tuple(row))
+            take("}")
+        else:
+            v = take()
+            if not v.startswith("?"):
+                raise ValueError("VALUES needs ?var or (?var ...)")
+            vars_ = [v[1:]]
+            take("{")
+            rows = []
+            while peek() is not None and peek() != "}":
+                tok = take()
+                rows.append(
+                    (None if tok.upper() == "UNDEF" else _sparql_unquote(tok),)
+                )
+            take("}")
+        return vars_, rows
+
+    def filter_expr():
+        take("(")
+        head = peek()
+        if head is not None and head.upper() in ("REGEX", "BOUND", "!BOUND"):
+            fn = take().upper()
+            take("(")
+            var = take()
+            if not var.startswith("?"):
+                raise ValueError(f"{fn} needs a ?var, got {var!r}")
+            if fn == "REGEX":
+                if take() != ",":
+                    raise ValueError("regex(?v, \"pat\") needs a comma")
+                pat = _sparql_unquote(take())
+                flags = ""
+                if peek() == ",":
+                    take()
+                    flags = _sparql_unquote(take())
+                take(")")
+                take(")")
+                return ("regex", var[1:], pat, flags)
+            take(")")
+            take(")")
+            return ("bound", var[1:], fn == "BOUND")
+        lhs = _sparql_unquote(take())
+        op = take()
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported FILTER operator {op!r}")
+        rhs = _sparql_unquote(take())
+        take(")")
+        return ("cmp", lhs, op, rhs)
+
     while peek() != "}":
         t = peek()
         if t is None:
             raise ValueError("unterminated WHERE group")
         if t.upper() == "OPTIONAL":
             take()
-            take("{")
-            optional.extend(triple_block())
-            take("}")
+            optional.extend(braced_block())
         elif t.upper() == "FILTER":
             take()
-            take("(")
-            lhs = _sparql_unquote(take())
-            op = take()
-            if op not in _FILTER_OPS:
-                raise ValueError(f"unsupported FILTER operator {op!r}")
-            rhs = _sparql_unquote(take())
-            take(")")
-            filters.append((lhs, op, rhs))
+            filters.append(filter_expr())
+        elif t == "{":
+            # { tp... } UNION { tp... } [UNION { tp... }]*
+            branches = [braced_block()]
+            if peek() is None or peek().upper() != "UNION":
+                raise ValueError("braced group must continue with UNION")
+            while peek() is not None and peek().upper() == "UNION":
+                take()
+                branches.append(braced_block())
+            if any(not b for b in branches):
+                raise ValueError("empty UNION branch")
+            unions.append(branches)
+        elif t.upper() == "MINUS":
+            take()
+            got = braced_block()
+            if not got:
+                raise ValueError("empty MINUS group")
+            minus.append(got)
+        elif t.upper() == "VALUES":
+            take()
+            values.append(values_block())
         else:
             got = triple_block()
             if not got:
@@ -639,7 +742,7 @@ def parse_sparql(text: str) -> dict:
     return {
         "select": select, "distinct": distinct, "patterns": patterns,
         "optional": optional, "filters": filters, "order": order,
-        "limit": limit,
+        "limit": limit, "unions": unions, "minus": minus, "values": values,
     }
 
 
@@ -671,28 +774,162 @@ def _expand_property_paths(
     return src
 
 
+def _apply_filters(out: DataFrame, filters: list) -> DataFrame:
+    """FILTER compilation shared by the SELECT and aggregate paths.
+    Comparisons are string-typed (matching the triple table);
+    regex(?v, pat[, "i"]) compiles to Catalyst rlike (case folded into
+    the pattern for the "i" flag); bound/!bound become null tests —
+    the OPTIONAL-negation idiom."""
+    for f in filters:
+        if f[0] == "cmp":
+            _, lhs, op, rhs = f
+            lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
+            rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
+            cond = {
+                "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+                ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+            }[op]
+        elif f[0] == "regex":
+            _, var, pat, flags = f
+            if "i" in flags:
+                pat = "(?i)" + pat
+            cond = F.col(var).rlike(pat)
+        else:  # ("bound", var, positive)
+            _, var, positive = f
+            c = F.col(var)
+            cond = c.isNotNull() if positive else c.isNull()
+        out = out.filter(cond)
+    return out
+
+
+def _pattern_vars(patterns) -> set[str]:
+    return {
+        t[1:] for pat in patterns for t in pat
+        if isinstance(t, str) and t.startswith("?")
+    }
+
+
+def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
+    """Compile a parsed WHERE group to a solution DataFrame (one column
+    per bound variable).  Group algebra, Spark-first:
+
+      * the required patterns compile through bgp_query (selectivity-
+        ordered equi-joins, broadcast dimension legs);
+      * each ``{A} UNION {B}`` block compiles every branch through
+        bgp_query, NULL-pads each branch to the block's variable set
+        (SPARQL union semantics), unions them, and equi-joins the block
+        into the solution on shared variables;
+      * each ``VALUES`` block becomes an inline literal DataFrame —
+        broadcast-joined (it is query text, definitionally tiny): the
+        parameterized batch-probe shape a warehouse consumer runs;
+      * each ``MINUS`` group compiles through bgp_query and is removed
+        with a left_anti join on the shared variables; disjoint
+        domains remove nothing (per the SPARQL MINUS spec);
+      * FILTERs last, as plain Catalyst predicates.
+
+    Property paths (`p+`) are expanded once over ALL groups' patterns
+    before compilation."""
+    all_pats = list(q["patterns"]) + list(q["optional"])
+    for branches in q["unions"]:
+        for b in branches:
+            all_pats.extend(b)
+    for m in q["minus"]:
+        all_pats.extend(m)
+    src = _expand_property_paths(triples, all_pats, [])
+
+    sol: DataFrame | None = None
+    if q["patterns"]:
+        sol = bgp_query(src, q["patterns"], optional=q["optional"], **bgp_kwargs)
+    elif q["optional"]:
+        raise ValueError("OPTIONAL requires at least one required pattern")
+
+    for branches in q["unions"]:
+        block_vars = sorted(set().union(*(_pattern_vars(b) for b in branches)))
+        padded = []
+        for b in branches:
+            bsol = bgp_query(src, b, **bgp_kwargs)
+            padded.append(
+                bsol.select(*[
+                    F.col(v) if v in bsol.columns
+                    else F.lit(None).cast("string").alias(v)
+                    for v in block_vars
+                ])
+            )
+        block = padded[0]
+        for p in padded[1:]:
+            block = block.unionByName(p)
+        if sol is None:
+            sol = block
+        else:
+            shared = sorted(set(sol.columns) & set(block.columns))
+            if not shared:
+                raise ValueError(
+                    "UNION block shares no variable with the rest of the "
+                    "group (cross product)"
+                )
+            sol = sol.join(block, on=shared)
+
+    for vars_, rows in q["values"]:
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            rows, ", ".join(f"`{v}` string" for v in vars_)
+        )
+        if sol is None:
+            sol = vdf
+            continue
+        shared = [v for v in vars_ if v in sol.columns]
+        new = [v for v in vars_ if v not in sol.columns]
+        undef_shared = any(
+            row[i] is None
+            for row in rows
+            for i, v in enumerate(vars_)
+            if v in shared
+        )
+        if not shared:
+            sol = sol.crossJoin(F.broadcast(vdf))
+        elif not undef_shared:
+            sol = sol.join(F.broadcast(vdf), on=shared)
+        else:
+            # UNDEF in a shared var: SPARQL compatibility — the UNDEF
+            # binding matches anything.  The values table is query
+            # text (tiny), so the theta-join broadcasts.
+            ren = vdf.select(*[F.col(v).alias(f"__v_{v}") for v in vars_])
+            cond = None
+            for v in shared:
+                c = F.col(f"__v_{v}").isNull() | (
+                    F.col(f"__v_{v}") == F.col(v)
+                )
+                cond = c if cond is None else cond & c
+            sol = sol.join(F.broadcast(ren), on=cond)
+            sol = sol.select(
+                *[c for c in sol.columns if not c.startswith("__v_")],
+                *[F.col(f"__v_{v}").alias(v) for v in new],
+            )
+
+    if sol is None:
+        raise ValueError("WHERE group binds nothing")
+
+    for mpats in q["minus"]:
+        msol = bgp_query(src, mpats, **bgp_kwargs)
+        shared = sorted(set(sol.columns) & set(msol.columns))
+        if shared:  # disjoint domains: MINUS removes nothing (per spec)
+            sol = sol.join(
+                msol.select(*shared).dropDuplicates(), on=shared,
+                how="left_anti",
+            )
+
+    return _apply_filters(sol, q["filters"])
+
+
 def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     """Run a SPARQL-subset query string against a (subj, pred, obj[,
     obj_type]) triple table.  parse_sparql → property-path expansion →
-    bgp_query (selectivity-ordered equi-joins, broadcast dimension
-    legs) → FILTER/projection/ORDER/LIMIT as plain Catalyst ops.
-    FILTER comparisons are string-typed, matching the triple table;
-    ORDER BY is required for a deterministic LIMIT and that contract
-    is the caller's (same as SQL)."""
+    group algebra (_solve_where: BGP joins + UNION/VALUES/MINUS +
+    FILTER) → projection/ORDER/LIMIT as plain Catalyst ops.  ORDER BY
+    is required for a deterministic LIMIT and that contract is the
+    caller's (same as SQL)."""
     q = parse_sparql(text)
-    src = _expand_property_paths(triples, q["patterns"], q["optional"])
-    out = bgp_query(
-        src, q["patterns"], optional=q["optional"],
-        distinct=False, **bgp_kwargs,
-    )
-    for lhs, op, rhs in q["filters"]:
-        lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
-        rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
-        cond = {
-            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
-            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
-        }[op]
-        out = out.filter(cond)
+    out = _solve_where(triples, q, **bgp_kwargs)
     if q["select"] is not None:
         out = out.select(*q["select"])
     if q["distinct"]:
@@ -737,7 +974,8 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
 
     AGG ∈ COUNT|SUM|MIN|MAX|AVG; COUNT(DISTINCT ?v) supported.  SUM/AVG
     cast the (string-typed) binding to double — the caller owns numeric
-    determinism, same as SQL.  The WHERE group reuses the full subset
+    determinism, same as SQL.  The WHERE group reuses the full group
+    algebra (UNION/MINUS/VALUES via _solve_where) plus the subset
     grammar (OPTIONAL/FILTER/property paths)."""
     aggs = []
 
@@ -760,15 +998,7 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
                     r"\g<1>* ", lifted)
 
     q = parse_sparql(lifted)
-    src = _expand_property_paths(triples, q["patterns"], q["optional"])
-    out = bgp_query(src, q["patterns"], optional=q["optional"], **bgp_kwargs)
-    for lhs, op, rhs in q["filters"]:
-        lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
-        rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
-        out = out.filter(
-            {"=": lc == rc, "!=": lc != rc, "<": lc < rc, ">": lc > rc,
-             "<=": lc <= rc, ">=": lc >= rc}[op]
-        )
+    out = _solve_where(triples, q, **bgp_kwargs)
     exprs = []
     for fn, dist, var, alias in aggs:
         col = F.col(var) if var else F.lit(1)
@@ -820,7 +1050,8 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     subj_vars = {p[0][1:] for p in tmpl if p[0].startswith("?")}
     where_subj_vars = set()
     wq = parse_sparql("SELECT * " + m.group(2))
-    for s, _, _ in (*wq["patterns"], *wq["optional"]):
+    union_pats = [p for block in wq["unions"] for b in block for p in b]
+    for s, _, _ in (*wq["patterns"], *wq["optional"], *union_pats):
         if s.startswith("?"):
             where_subj_vars.add(s[1:])
 

@@ -446,8 +446,34 @@ def test_parse_sparql_structure():
     assert q["select"] == ["d", "n"] and q["distinct"]
     assert q["patterns"] == [("?d", "mentions", "?e"), ("?e", "@type", "Person")]
     assert q["optional"] == [("?e", "name", "?n")]
-    assert q["filters"] == [("?d", "!=", "doc:9")]
+    assert q["filters"] == [("cmp", "?d", "!=", "doc:9")]
     assert q["order"] == [("d", True), ("n", False)] and q["limit"] == 5
+    assert q["unions"] == [] and q["minus"] == [] and q["values"] == []
+
+
+def test_parse_sparql_union_minus_values():
+    from kgc.graph import parse_sparql
+
+    q = parse_sparql(
+        "SELECT ?d ?e WHERE { { ?d mentions ?e } UNION { ?d locations ?e } "
+        "MINUS { ?d about ?x } VALUES ?t { Person UNDEF \"two words\" } "
+        "VALUES (?a ?b) { (x y) (UNDEF z) } "
+        'FILTER (regex(?e, "^ent:", "i")) FILTER (bound(?d)) '
+        "FILTER (!bound(?x)) }"
+    )
+    assert q["unions"] == [
+        [[("?d", "mentions", "?e")], [("?d", "locations", "?e")]]
+    ]
+    assert q["minus"] == [[("?d", "about", "?x")]]
+    assert q["values"] == [
+        (["t"], [("Person",), (None,), ("two words",)]),
+        (["a", "b"], [("x", "y"), (None, "z")]),
+    ]
+    assert q["filters"] == [
+        ("regex", "e", "^ent:", "i"),
+        ("bound", "d", True),
+        ("bound", "x", False),
+    ]
 
 
 def test_sparql_matches_bgp(spark):
@@ -519,6 +545,107 @@ def test_sparql_rejects_junk(spark):
         sparql_query(
             _kg(spark), "SELECT ?a ?x WHERE { ?a mentions ?b . ?x name ?y }"
         ).collect()
+
+
+def test_sparql_union_null_pads_and_joins(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    # union as the only group: branch vars differ → NULL padding
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e ?n ?t WHERE { { ?e name ?n } UNION '
+        '{ ?e "@type" ?t } } ORDER BY ?e ?n ?t',
+    ).collect()
+    assert [tuple(r) for r in rows] == [  # Spark ASC = NULLS FIRST
+        ("ent:1", None, "Person"), ("ent:1", "Ada", None),
+        ("ent:2", None, "Place"), ("ent:2", "Paris", None),
+    ]
+    # union joined into a required pattern on the shared variable
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?d WHERE { ?d mentions ?e . "
+        '{ ?e "@type" Person } UNION { ?e "@type" Place } } ORDER BY ?d',
+    ).collect()
+    assert [r.d for r in rows] == ["doc:1", "doc:2"]
+
+
+def test_sparql_values_probe(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e ?n WHERE { ?e name ?n . '
+        'VALUES ?n { "Ada" "Nobody" } }',
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", "Ada")]
+    # multi-var VALUES with UNDEF: UNDEF matches anything (SPARQL
+    # compatibility), and the unbound slot rides along as NULL
+    rows = sparql_query(
+        kg,
+        "SELECT ?e ?n ?tag WHERE { ?e name ?n . "
+        'VALUES (?n ?tag) { ("Ada" "a") (UNDEF "any") } } ORDER BY ?n ?tag',
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("ent:1", "Ada", "a"), ("ent:1", "Ada", "any"),
+        ("ent:2", "Paris", "any"),
+    ]
+
+
+def test_sparql_minus(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e "@type" ?t . '
+        "MINUS { doc:2 mentions ?e } }",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1"]
+    # disjoint domains: MINUS removes nothing (per SPARQL spec)
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e WHERE { ?e name ?n . "
+        'MINUS { ?x "@type" Person } }',
+    ).collect()
+    assert len(rows) == 2
+
+
+def test_sparql_filter_regex_bound(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?n WHERE { ?e name ?n . '
+        'FILTER (regex(?n, "^ad", "i")) }',
+    ).collect()
+    assert [r.n for r in rows] == ["Ada"]
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e WHERE { ?d mentions ?e . "
+        "OPTIONAL { ?e nosuchpred ?x } FILTER (!bound(?x)) } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1", "ent:2"]
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e WHERE { ?d mentions ?e . "
+        "OPTIONAL { ?e nosuchpred ?x } FILTER (bound(?x)) }",
+    ).collect()
+    assert rows == []
+
+
+def test_sparql_aggregate_over_union(spark):
+    from kgc.graph import sparql_aggregate
+
+    kg = _kg(spark)
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (COUNT(*) AS ?n) WHERE { { ?d mentions ?e } UNION "
+        "{ ?e name ?x } } GROUP BY ?e ORDER BY ?e",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", 2), ("ent:2", 3)]
 
 
 def test_sparql_aggregate_groupby(spark):
