@@ -1174,9 +1174,11 @@ def q_graph_suite(spark, sf_dir):
     instantiation → serialization end-to-end) + SPARQL group algebra
     (leg sparql_ops: three-branch UNION over the doc→entity predicate
     taxonomy, a VALUES type probe, MINUS negation on docs with a
-    locations edge — kgc.graph._solve_where).  Legs tagged (fn, key,
-    out); ints ride as strings (formatting-exact); clustering rides
-    1e6-scaled."""
+    locations edge — kgc.graph._solve_where) + the JSON-LD round trip
+    (leg jsonld_rt: render_jsonld_nested(include_ids=True) →
+    from_jsonld must reproduce the KG bit-for-bit; the oracle is the
+    triple table itself).  Legs tagged (fn, key, out); ints ride as
+    strings (formatting-exact); clustering rides 1e6-scaled."""
     # ONE persisted entity-triple table feeds all six KG-consumer legs
     # (validate, bgp, ntriples, sparql_agg, construct — and the bgp
     # leg's five pattern scans): the link pipeline executes once, not
@@ -1265,10 +1267,31 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("d"), F.col("e")),
         F.col("t"),
     )
+    # JSON-LD round trip: the constructed KG rendered to one nested
+    # @graph document (include_ids=True) and re-ingested through the
+    # distributed from_jsonld parser must reproduce the KG bit-for-bit
+    # — the oracle is simply the entity-triple table itself, so the
+    # leg pins render → parse end-to-end (the migration path for a
+    # reference user's existing JSON-LD corpus).
+    from kgc.triples import from_jsonld, render_jsonld_nested
+
+    rt = _leg(
+        from_jsonld(
+            render_jsonld_nested(
+                et.withColumn("doc_id", F.lit("kg"))
+                .withColumn("seg_id", F.lit(0)),
+                include_ids=True,
+            )
+        ).select("subj", "pred", "obj", "obj_type"),
+        "jsonld_rt",
+        F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj")),
+        F.col("obj_type"),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
         .unionByName(agg).unionByName(con).unionByName(ops)
+        .unionByName(rt)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4064,7 +4087,9 @@ FROM etrip u
 JOIN etrip t ON t.subj = u.obj AND t.pred = '@type'
 WHERE u.pred IN ('mentions', 'events', 'about')
   AND t.obj IN ('Person', 'Event', 'Organization')
-  AND u.subj NOT IN (SELECT subj FROM etrip WHERE pred = 'locations')"""
+  AND u.subj NOT IN (SELECT subj FROM etrip WHERE pred = 'locations')
+UNION ALL
+SELECT 'jsonld_rt', subj || '|' || pred || '|' || obj, obj_type FROM etrip"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

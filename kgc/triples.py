@@ -406,7 +406,9 @@ _ALWAYS_LIST_PREDS = {"participants"}
 _INT_PREDS = {"position"}
 
 
-def render_jsonld_nested(triples: DataFrame, indent: int | None = None) -> DataFrame:
+def render_jsonld_nested(
+    triples: DataFrame, indent: int | None = None, include_ids: bool = False
+) -> DataFrame:
     """A2 nested render — the inverse of kgc.golden.flatten_node.
 
     ``indent=2`` reproduces the reference CLI's file output byte-for-
@@ -437,6 +439,13 @@ def render_jsonld_nested(triples: DataFrame, indent: int | None = None) -> DataF
       single-element arrays as arrays);
     * _INT_PREDS literals become JSON numbers per the @context
       datatype.
+
+    ``include_ids=True`` stamps every root node with its subject as
+    "@id" (the reference CLI's shape omits it, so the default stays
+    byte-comparable with the committed fixtures).  With ids the render
+    is losslessly invertible for ANY triple table: ``from_jsonld``
+    recovers the exact (subj, pred, obj, obj_type) set — render →
+    parse round trips the KG bit-for-bit (pytest-pinned).
 
     Grouped per document (applyInPandas): assembly is pure local work
     after one shuffle on doc_id — the same exchange A1 already pays.
@@ -504,6 +513,8 @@ def render_jsonld_nested(triples: DataFrame, indent: int | None = None) -> DataF
             roots = sorted(s for s in children if s not in refd)
             for root in roots:
                 node = {"@context": "https://schema.org", **_build(children, root)}
+                if include_ids:
+                    node["@id"] = root
                 nodes.append(dict(sorted(node.items())))
         doc = {"@context": "https://schema.org", "@graph": nodes}
         return pd.DataFrame(
@@ -539,6 +550,126 @@ def render_jsonld(triples: DataFrame) -> DataFrame:
             )
         ).alias("jsonld"),
     )
+
+
+def from_jsonld(
+    docs: DataFrame, doc_col: str = "doc_id", json_col: str = "jsonld"
+) -> DataFrame:
+    """JSON-LD ingestion — the inverse of render_jsonld_nested, and the
+    migration source for a reference user's EXISTING corpus: the Go CLI
+    emitted one `{"@context": "https://schema.org", "@graph": [...]}`
+    file per document (cmd/cli/main.go:205-217), and this parses a
+    DataFrame of those strings straight into the engine's (doc_id,
+    seg_id, subj, pred, obj, obj_type) triple table.
+
+    Per-node flattening follows the kgc.golden.flatten_node rules
+    (path-deterministic blank nodes `subj/pred[/i]`, empty strings
+    dropped per converter.go:363-369, date-typed objects for valid
+    _DATE_PREDS values, bools/numbers stringified) plus JSON-LD "@id"
+    handling the fixtures don't need but round-tripping does:
+
+      * a node's "@id" becomes its subject (else `seg:{doc}#{seg}`);
+      * `{"@id": x}`-only objects become (s, p, x, 'node') reference
+        triples — the shape render_jsonld_nested emits for entity
+        edges;
+      * a dict WITH "@id" and other keys nests under that id instead
+        of a path blank.
+
+    Parity with the trusted driver-side loader is pytest-pinned on the
+    reference's own committed fixtures (from_jsonld == kgc.golden.
+    load_golden_triples, exact), and render(include_ids=True) →
+    from_jsonld round trips any triple table bit-for-bit.
+
+    Scale shape: mapInPandas — documents parse independently, no
+    shuffle, Arrow-batched; a malformed JSON document yields no rows
+    (callers audit drops with an anti-join on doc_id, the same posture
+    as the parser quarantine)."""
+    import json as _json
+
+    import pandas as pd
+
+    from kgc.golden import _DATE_PREDS, is_valid_date, seg_subject
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seg_id", T.IntegerType()),
+            T.StructField("subj", T.StringType()),
+            T.StructField("pred", T.StringType()),
+            T.StructField("obj", T.StringType()),
+            T.StructField("obj_type", T.StringType()),
+        ]
+    )
+    cols = ["doc_id", "seg_id", "subj", "pred", "obj", "obj_type"]
+
+    def _flatten(doc_id: str, seg_id: int, node: dict) -> list:
+        rows: list = []
+
+        def ref_or_blank(s, p, o, blank_id):
+            """dict object → reference, @id-subject, or path blank."""
+            keys = set(o) - {"@context"}
+            if keys == {"@id"}:
+                rows.append((s, p, o["@id"], "node"))
+                return
+            b = o.get("@id") or blank_id
+            rows.append((s, p, b, "node"))
+            for k, v in o.items():
+                if k in ("@context", "@id"):
+                    continue
+                emit(b, k, v)
+
+        def emit(s, p, o):
+            if isinstance(o, bool):
+                rows.append((s, p, "true" if o else "false", "literal"))
+            elif isinstance(o, (int, float)):
+                o = int(o) if isinstance(o, float) and o.is_integer() else o
+                rows.append((s, p, str(o), "literal"))
+            elif isinstance(o, str):
+                if o == "":
+                    return
+                t = "date" if p in _DATE_PREDS and is_valid_date(o) else "literal"
+                rows.append((s, p, o, t))
+            elif isinstance(o, dict):
+                ref_or_blank(s, p, o, f"{s}/{p}")
+            elif isinstance(o, list):
+                for i, item in enumerate(o):
+                    if isinstance(item, dict):
+                        ref_or_blank(s, p, item, f"{s}/{p}/{i}")
+                    else:
+                        emit(s, p, item)
+
+        subj = node.get("@id") or seg_subject(doc_id, seg_id)
+        for k, v in node.items():
+            if k in ("@context", "@id"):
+                continue
+            emit(subj, k, v)
+        return rows
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[doc_col], pdf[json_col]):
+                try:
+                    data = _json.loads(txt)
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(data, dict) and "@graph" in data:
+                    graph = data["@graph"]
+                elif isinstance(data, dict):
+                    graph = [data]
+                elif isinstance(data, list):
+                    graph = data
+                else:
+                    continue
+                for seg_id, node in enumerate(graph):
+                    if isinstance(node, dict):
+                        for s, p, o, t in _flatten(did, seg_id, node):
+                            rows.append((did, seg_id, s, p, o, t))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(
+        F.col(doc_col).cast("string").alias(doc_col), json_col
+    ).mapInPandas(_parse, out_schema)
 
 
 def validate_triples(

@@ -184,6 +184,65 @@ class TestNestedRender:
         assert canon(json.loads(out[0]["jsonld"])) == canon(want)
 
 
+class TestFromJsonld:
+    """JSON-LD ingestion: the distributed parser must equal the trusted
+    driver-side fixture loader on the reference's own committed
+    outputs, and render(include_ids=True) → from_jsonld must round-trip
+    a triple table bit-for-bit."""
+
+    @pytest.mark.parametrize("name", [TXT, PDF])
+    def test_parity_with_driver_loader(self, spark, name):
+        from kgc.triples import from_jsonld
+
+        txt = GOLDEN_FILES[name].read_text(encoding="utf-8")
+        df = spark.createDataFrame(
+            [(name, txt)], "doc_id string, jsonld string"
+        )
+        got = sorted(tuple(r) for r in from_jsonld(df).collect())
+        want = sorted(load_golden_triples(name))
+        assert got == want
+
+    @pytest.mark.parametrize("name", [TXT, PDF])
+    def test_render_parse_roundtrip_with_ids(self, spark, name):
+        from kgc.triples import from_jsonld, render_jsonld_nested
+
+        t = golden_df(spark, name)
+        back = from_jsonld(render_jsonld_nested(t, include_ids=True))
+        got = sorted(
+            tuple(r)
+            for r in back.select(
+                "doc_id", "subj", "pred", "obj", "obj_type"
+            ).collect()
+        )
+        want = sorted(
+            (r[0], r[2], r[3], r[4], r[5]) for r in load_golden_triples(name)
+        )
+        assert got == want
+
+    def test_entity_kg_roundtrip_and_malformed_skip(self, spark):
+        from kgc.triples import from_jsonld, render_jsonld_nested
+
+        rows = [
+            ("kg", 0, "doc:1", "mentions", "ent:1", "node"),
+            ("kg", 0, "doc:1", "title", "a b", "literal"),
+            ("kg", 0, "ent:1", "@type", "Person", "literal"),
+            ("kg", 0, "ent:1", "name", "Ada", "literal"),
+        ]
+        t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        rendered = render_jsonld_nested(t, include_ids=True)
+        bad = spark.createDataFrame(
+            [("oops", "{not json")], "doc_id string, jsonld string"
+        )
+        back = from_jsonld(rendered.unionByName(bad))
+        got = sorted(
+            tuple(r)
+            for r in back.select(
+                "subj", "pred", "obj", "obj_type"
+            ).collect()
+        )
+        assert got == sorted((r[2], r[3], r[4], r[5]) for r in rows)
+
+
 def _norm(obj):
     """Order-normalize for structural comparison: dict keys sort (Go's
     json.Marshal emits sorted keys, and the renderer does too); arrays
