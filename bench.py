@@ -220,6 +220,22 @@ def main() -> None:
                  ?d locations ?pl . ?pl "@type" Place }""",
         ),
     ))
+    # group algebra at KG scale: a 2-branch UNION over the two fact
+    # predicates (8M rows per branch pre-filter), a VALUES type probe
+    # joined against the broadcast @type dimension, and MINUS removing
+    # every doc that touches the hot entity (ent:1 rides ~10% of the
+    # 4M mention edges — the anti join is the skew-relevant shape).
+    jobs.append((
+        "sparql_algebra",
+        sparql_query(
+            spark.read.parquet(kg_dir),
+            """SELECT DISTINCT ?d ?p ?t WHERE {
+                 { ?d mentions ?p } UNION { ?d locations ?p }
+                 ?p "@type" ?t .
+                 VALUES ?t { Person Place }
+                 MINUS { ?d mentions ent:1 } }""",
+        ),
+    ))
 
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
     run_control("start")
