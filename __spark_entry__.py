@@ -1177,8 +1177,10 @@ def q_graph_suite(spark, sf_dir):
     locations edge — kgc.graph._solve_where) + the JSON-LD round trip
     (leg jsonld_rt: render_jsonld_nested(include_ids=True) →
     from_jsonld must reproduce the KG bit-for-bit; the oracle is the
-    triple table itself).  Legs tagged (fn, key, out); ints ride as
-    strings (formatting-exact); clustering rides 1e6-scaled."""
+    triple table itself) + DESCRIBE (subject-CBD of every mentioned
+    entity) + ASK (existence probes, one true one false).  Legs tagged
+    (fn, key, out); ints ride as strings (formatting-exact);
+    clustering rides 1e6-scaled."""
     # ONE persisted entity-triple table feeds all six KG-consumer legs
     # (validate, bgp, ntriples, sparql_agg, construct — and the bgp
     # leg's five pattern scans): the link pipeline executes once, not
@@ -1287,11 +1289,36 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj")),
         F.col("obj_type"),
     )
+    # the remaining two SPARQL 1.1 query forms: DESCRIBE (subject-CBD
+    # of every mentioned entity — resource set semi-joined against the
+    # KG) and ASK (lazy existence probe; one true, one false, so both
+    # boolean paths are pinned)
+    from kgc.graph import sparql_ask, sparql_describe
+
+    desc = _leg(
+        sparql_describe(
+            et,
+            "DESCRIBE ?p WHERE { { ?d mentions ?p } UNION { ?d events ?p } }",
+        ),
+        "describe",
+        F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj")),
+        F.col("obj_type"),
+    )
+    ask = _leg(
+        sparql_ask(et, "ASK { ?d mentions ?p }")
+        .select(F.lit("has_mentions").alias("k"), "ask")
+        .unionByName(
+            sparql_ask(et, "ASK { ?x nosuchpred ?y }")
+            .select(F.lit("no_such_pred").alias("k"), "ask")
+        ),
+        "ask", F.col("k"),
+        F.when(F.col("ask"), F.lit("true")).otherwise(F.lit("false")),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
         .unionByName(agg).unionByName(con).unionByName(ops)
-        .unionByName(rt)
+        .unionByName(rt).unionByName(desc).unionByName(ask)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4089,7 +4116,19 @@ WHERE u.pred IN ('mentions', 'events', 'about')
   AND t.obj IN ('Person', 'Event', 'Organization')
   AND u.subj NOT IN (SELECT subj FROM etrip WHERE pred = 'locations')
 UNION ALL
-SELECT 'jsonld_rt', subj || '|' || pred || '|' || obj, obj_type FROM etrip"""
+SELECT 'jsonld_rt', subj || '|' || pred || '|' || obj, obj_type FROM etrip
+UNION ALL
+SELECT 'describe', subj || '|' || pred || '|' || obj, obj_type
+FROM etrip WHERE subj IN (SELECT DISTINCT obj FROM etrip
+                          WHERE pred IN ('mentions', 'events'))
+UNION ALL
+SELECT 'ask', 'has_mentions',
+       CASE WHEN EXISTS (SELECT 1 FROM etrip WHERE pred = 'mentions')
+            THEN 'true' ELSE 'false' END
+UNION ALL
+SELECT 'ask', 'no_such_pred',
+       CASE WHEN EXISTS (SELECT 1 FROM etrip WHERE pred = 'nosuchpred')
+            THEN 'true' ELSE 'false' END"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

@@ -944,10 +944,13 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     return out
 
 
-# SPARQL aggregates + CONSTRUCT — the rest of the consumer surface.
+# SPARQL aggregates + CONSTRUCT + ASK + DESCRIBE — the rest of the
+# consumer surface (all four SPARQL 1.1 query forms).
 #
 #   SELECT ?g (COUNT(?x) AS ?n) ... WHERE {...} GROUP BY ?g [HAVING..?no]
 #   CONSTRUCT { tp . tp ... } WHERE {...}
+#   ASK [WHERE] { ... }
+#   DESCRIBE (?v | <iri>) ... [WHERE { ... }]
 #
 # Aggregates compile to one Catalyst groupBy (hash aggregate with
 # map-side partials — the scale shape); CONSTRUCT instantiates each
@@ -1083,3 +1086,72 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def sparql_ask(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """SPARQL ASK: does the WHERE group have at least one solution?
+    Grammar: ``ASK [WHERE] { ... }`` (full group algebra).  Returns a
+    one-row DataFrame (ask: boolean) — lazily: the plan is
+    solutions → LIMIT 1 → count > 0, so Spark stops scanning at the
+    first match (the LocalLimit short-circuits each task and the
+    CollectLimit takes one partition's hit) — an existence probe, not
+    a full evaluation."""
+    m = re.match(r"\s*ASK\s*(?:WHERE\s*)?(\{.*)", text,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError("expected ASK [WHERE] { ... }")
+    q = parse_sparql("SELECT * WHERE " + m.group(1))
+    sol = _solve_where(triples, q, **bgp_kwargs)
+    return (
+        sol.select(F.lit(1).alias("_one"))
+        .limit(1)
+        .agg((F.count("_one") > 0).alias("ask"))
+    )
+
+
+def sparql_describe(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """SPARQL DESCRIBE: every triple whose SUBJECT is a described
+    resource (the minimal symmetric-free Concise Bounded Description —
+    subject-outbound edges only, the standard-allowed simple form).
+    Grammar: ``DESCRIBE (?v | <iri> | term) ... [WHERE { ... }]``;
+    variables require a WHERE group and describe every binding.
+
+    Scale shape: the resource set (explicit constants ∪ distinct
+    solution bindings) is deduped and semi-joined against the triple
+    table on subj — one hash join, the fact table moves once;
+    DESCRIBE of a handful of constants is a pushed isin filter."""
+    m = re.match(
+        r"\s*DESCRIBE\s+(.*?)\s*(WHERE\s*\{.*)?$", text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m or not m.group(1).strip():
+        raise ValueError("expected DESCRIBE term ... [WHERE { ... }]")
+    terms = [_sparql_unquote(t) for t in _SPARQL_TOKEN.findall(m.group(1))]
+    consts = [t for t in terms if not t.startswith("?")]
+    vars_ = [t[1:] for t in terms if t.startswith("?")]
+    if vars_ and not m.group(2):
+        raise ValueError("DESCRIBE ?var needs a WHERE group")
+
+    res: DataFrame | None = None
+    if m.group(2):
+        q = parse_sparql("SELECT * " + m.group(2))
+        sol = _solve_where(triples, q, **bgp_kwargs)
+        missing = [v for v in vars_ if v not in sol.columns]
+        if missing:
+            raise ValueError(f"DESCRIBE vars not bound by WHERE: {missing}")
+        for v in vars_:
+            part = sol.select(F.col(v).alias("subj")).filter(
+                F.col("subj").isNotNull()
+            )
+            res = part if res is None else res.unionByName(part)
+    if consts:
+        if res is None and not vars_:
+            # constants only: a pushed isin filter, no join at all
+            return triples.filter(F.col("subj").isin(consts))
+        cdf = triples.sparkSession.createDataFrame(
+            [(c,) for c in consts], "subj string"
+        )
+        res = cdf if res is None else res.unionByName(cdf)
+    if res is None:
+        raise ValueError("DESCRIBE resolved no resources")
+    return triples.join(res.dropDuplicates(), on="subj", how="left_semi")

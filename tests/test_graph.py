@@ -636,6 +636,59 @@ def test_sparql_filter_regex_bound(spark):
     assert rows == []
 
 
+def test_sparql_ask(spark):
+    from kgc.graph import sparql_ask
+
+    kg = _kg(spark)
+    assert sparql_ask(kg, 'ASK { ?d mentions ?e . ?e "@type" Person }'
+                      ).collect()[0].ask is True
+    assert sparql_ask(kg, "ASK WHERE { ?x nosuchpred ?y }"
+                      ).collect()[0].ask is False
+    # full group algebra available inside ASK
+    assert sparql_ask(
+        kg, 'ASK { { ?e name ?n } UNION { ?e "@type" ?t } '
+        'VALUES ?n { "Paris" } }'
+    ).collect()[0].ask is True
+
+
+def test_sparql_describe(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_describe
+
+    kg = _kg(spark)
+    # constants only: pushed isin filter
+    got = sorted(
+        tuple(r) for r in sparql_describe(kg, "DESCRIBE ent:1").collect()
+    )
+    assert got == [
+        ("ent:1", "@type", "Person", "literal"),
+        ("ent:1", "name", "Ada", "literal"),
+    ]
+    # variable bindings: every triple about every mentioned entity
+    got = sorted(
+        tuple(r)
+        for r in sparql_describe(
+            kg, "DESCRIBE ?e WHERE { ?d mentions ?e }"
+        ).collect()
+    )
+    assert got == [
+        ("ent:1", "@type", "Person", "literal"),
+        ("ent:1", "name", "Ada", "literal"),
+        ("ent:2", "@type", "Place", "literal"),
+        ("ent:2", "name", "Paris", "literal"),
+    ]
+    # mixed constants + vars union; unknown var refused
+    got = sparql_describe(
+        kg, "DESCRIBE ent:9 ?e WHERE { ?d mentions ?e }"
+    ).collect()
+    assert len(got) == 4
+    with _pt.raises(ValueError):
+        sparql_describe(kg, "DESCRIBE ?nope WHERE { ?d mentions ?e }")
+    with _pt.raises(ValueError):
+        sparql_describe(kg, "DESCRIBE ?e")
+
+
 def test_sparql_aggregate_over_union(spark):
     from kgc.graph import sparql_aggregate
 
