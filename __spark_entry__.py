@@ -1237,7 +1237,7 @@ def q_graph_suite(spark, sf_dir):
         sparql_aggregate(
             et,
             "SELECT ?e (COUNT(DISTINCT ?d) AS ?nd) "
-            "WHERE { ?d mentions ?e } GROUP BY ?e",
+            "WHERE { ?d mentions ?e } GROUP BY ?e HAVING (?nd >= 2)",
         ),
         "sparql_agg", F.col("e"), F.col("nd").cast("string"),
     )
@@ -4101,6 +4101,7 @@ SELECT 'ntriples', md5(line), line FROM (
 UNION ALL
 SELECT 'sparql_agg', obj, count(DISTINCT subj)::VARCHAR
 FROM etrip WHERE pred = 'mentions' GROUP BY obj
+HAVING count(DISTINCT subj) >= 2
 UNION ALL
 SELECT 'construct', md5(line), line FROM (
   SELECT DISTINCT '<kgc:' || m.subj || '> <https://schema.org/cites> <kgc:'

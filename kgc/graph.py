@@ -947,7 +947,7 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
 # SPARQL aggregates + CONSTRUCT + ASK + DESCRIBE — the rest of the
 # consumer surface (all four SPARQL 1.1 query forms).
 #
-#   SELECT ?g (COUNT(?x) AS ?n) ... WHERE {...} GROUP BY ?g [HAVING..?no]
+#   SELECT ?g (COUNT(?x) AS ?n) ... WHERE {...} GROUP BY ?g [HAVING (...)]
 #   CONSTRUCT { tp . tp ... } WHERE {...}
 #   ASK [WHERE] { ... }
 #   DESCRIBE (?v | <iri>) ... [WHERE { ... }]
@@ -973,13 +973,16 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     """SPARQL GROUP BY aggregation over a triple table.  Grammar:
 
       SELECT ?g ... (AGG(?v|*) AS ?alias) ... WHERE { ... } GROUP BY ?g ...
+      [HAVING (?alias op const [&& ?alias op const]*)]
       [ORDER BY ...] [LIMIT n]
 
     AGG ∈ COUNT|SUM|MIN|MAX|AVG; COUNT(DISTINCT ?v) supported.  SUM/AVG
     cast the (string-typed) binding to double — the caller owns numeric
-    determinism, same as SQL.  The WHERE group reuses the full group
-    algebra (UNION/MINUS/VALUES via _solve_where) plus the subset
-    grammar (OPTIONAL/FILTER/property paths)."""
+    determinism, same as SQL.  HAVING compares aggregate ALIASES
+    (numeric literals compare as doubles, anything else as strings) and
+    compiles to a post-aggregate Catalyst filter.  The WHERE group
+    reuses the full group algebra (UNION/MINUS/VALUES via _solve_where)
+    plus the subset grammar (OPTIONAL/FILTER/property paths)."""
     aggs = []
 
     def lift(m):
@@ -990,6 +993,20 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
         return ""  # remove from the SELECT list the base parser sees
 
     lifted = _SELECT_AGG.sub(lift, text)
+    mh = re.search(r"HAVING\s*\(([^()]*)\)", lifted, re.IGNORECASE)
+    having: list[tuple[str, str, str]] = []
+    if mh:
+        lifted = lifted[: mh.start()] + " " + lifted[mh.end():]
+        for clause in re.split(r"&&", mh.group(1)):
+            hm = re.fullmatch(
+                r"\s*\?([A-Za-z_]\w*)\s*(=|!=|<=|>=|<|>)\s*(\S+)\s*",
+                clause,
+            )
+            if not hm:
+                raise ValueError(
+                    f"HAVING clause must be '?alias op const': {clause!r}"
+                )
+            having.append((hm.group(1), hm.group(2), hm.group(3)))
     mg = re.search(r"GROUP\s+BY((?:\s+\?[A-Za-z_]\w*)+)", lifted, re.IGNORECASE)
     if mg:
         lifted = lifted[: mg.start()] + " " + lifted[mg.end():]
@@ -1014,6 +1031,20 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
         else:
             exprs.append(_AGG_FNS[fn](col).alias(alias))
     out = out.groupBy(*group_vars).agg(*exprs) if group_vars else out.agg(*exprs)
+    agg_aliases = {a for _, _, _, a in aggs}
+    for alias, op, raw in having:
+        if alias not in agg_aliases and alias not in group_vars:
+            raise ValueError(f"HAVING references unknown alias ?{alias}")
+        try:
+            rhs: object = float(raw)
+            lhs = F.col(alias).cast("double")
+        except ValueError:
+            rhs = _sparql_unquote(raw)
+            lhs = F.col(alias)
+        out = out.filter(
+            {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+             ">": lhs > rhs, "<=": lhs <= rhs, ">=": lhs >= rhs}[op]
+        )
     if q["order"]:
         out = out.orderBy(
             *[F.col(v).asc() if asc else F.col(v).desc()

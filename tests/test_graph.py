@@ -718,6 +718,33 @@ def test_sparql_aggregate_groupby(spark):
     assert one[0].n == 3
 
 
+def test_sparql_aggregate_having(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_aggregate
+
+    kg = _kg(spark)
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (COUNT(*) AS ?n) (COUNT(DISTINCT ?d) AS ?nd) "
+        "WHERE { ?d mentions ?e } GROUP BY ?e "
+        "HAVING (?n >= 2 && ?nd >= 2) ORDER BY ?e",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:2", 2, 2)]
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (COUNT(*) AS ?n) WHERE { ?d mentions ?e } "
+        "GROUP BY ?e HAVING (?n < 2)",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", 1)]
+    with _pt.raises(ValueError):
+        sparql_aggregate(
+            kg,
+            "SELECT ?e (COUNT(*) AS ?n) WHERE { ?d mentions ?e } "
+            "GROUP BY ?e HAVING (?bogus > 1)",
+        )
+
+
 def test_sparql_construct_derived_kg_roundtrips(spark):
     from kgc.graph import sparql_construct
     from kgc.triples import from_ntriples, to_ntriples
