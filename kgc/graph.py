@@ -495,12 +495,15 @@ def bgp_query(
 #           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]  ... }
 #   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n]
 #
-# plus the one property-path form that matters for RDFS-style KGs:
-# a predicate written `p+` (one-or-more) expands to the path-doubling
+# plus the property-path forms that matter for RDFS-style KGs: a
+# predicate written `p+` (one-or-more) expands to the path-doubling
 # transitive closure of that predicate's edge set (transitive_closure
-# above, log-depth joins), union'd into the pattern source under the
-# reserved predicate name `p+` — the rest of the query planner is
-# unchanged and the closure leg joins like any other pattern.
+# above, log-depth joins); `p*` (zero-or-more) adds the identity
+# relation over every graph term; `p|q` (alternation) unions the
+# alternatives' edge sets as a pushed pred-IN scan.  Each is union'd
+# into the pattern source under its own reserved predicate name — the
+# rest of the query planner is unchanged and the path leg joins like
+# any other pattern.
 #
 # No triple store, no dedicated engine: parse → bgp_query → Catalyst.
 # The reference emits the KG (internal/jsonld/converter.go:52-94) but
@@ -509,7 +512,7 @@ def bgp_query(
 
 _SPARQL_TOKEN = re.compile(
     r"""\?[A-Za-z_]\w*      # variable
-      | <[^>]*>\+?          # IRI ref, optional + path
+      | <[^>]*>[+*]?        # IRI ref, optional +/* path
       | "(?:[^"\\]|\\.)*"   # quoted literal
       | [{}().]             # punctuation
       | [^\s{}()."]+        # bare term / keyword
@@ -522,10 +525,10 @@ _FILTER_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
 def _sparql_unquote(tok: str) -> str:
     """Constant term normalization: strip <> from IRIs (keeping a
-    trailing + path marker), decode \\-escapes in quoted literals."""
-    path = tok.endswith("+") and tok.startswith("<")
-    if path:
-        tok = tok[:-1]
+    trailing +/* path marker), decode \\-escapes in quoted literals."""
+    path = ""
+    if tok.startswith("<") and tok[-1:] in "+*":
+        path, tok = tok[-1], tok[:-1]
     if tok.startswith("<") and tok.endswith(">"):
         tok = tok[1:-1]
     elif tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
@@ -539,7 +542,7 @@ def _sparql_unquote(tok: str) -> str:
                 out.append(body[i])
                 i += 1
         tok = "".join(out)
-    return tok + "+" if path else tok
+    return tok + path
 
 
 def parse_sparql(text: str) -> dict:
@@ -749,28 +752,82 @@ def parse_sparql(text: str) -> dict:
 def _expand_property_paths(
     triples: DataFrame, patterns: list, optional: list
 ) -> DataFrame:
-    """For every `p+` predicate used in a pattern, union the transitive
-    closure of p's edge set into the pattern source under the reserved
-    name `p+`.  One closure computation per distinct path predicate;
-    the closure subgraph is tiny relative to the fact table (it is one
-    predicate's edges), so the union costs a scan, not a shuffle."""
-    src = triples.select("subj", "pred", "obj")
-    path_preds = {
-        p[:-1]
-        for _, p, _ in (*patterns, *optional)
-        if not p.startswith("?") and p.endswith("+")
-    }
-    for base in sorted(path_preds):
+    """Property-path expansion: for every path predicate used in a
+    pattern, union a derived edge set into the pattern source under the
+    path's own reserved name; the rest of the planner is unchanged and
+    the path leg joins like any other pattern.
+
+      * ``p+``  (one-or-more): the transitive closure of p's edge set
+        (path doubling, log-depth joins).
+      * ``p*``  (zero-or-more): the closure PLUS the identity relation
+        over every term of the graph (distinct subj ∪ obj — SPARQL's
+        zero-length path binds any term to itself).  The term set is
+        one distinct over the fact table; a pattern with a bound end
+        prunes it at the join.
+      * ``p|q`` (alternation): the union of the alternatives' edge
+        sets — compiled as a pushed ``pred IN (p, q)`` scan, zero extra
+        shuffles.  Bare terms only (IRI-bracketed alternatives would
+        tokenize apart); alternation does not nest with +/*.
+
+    One closure computation per distinct path predicate; closure
+    subgraphs are tiny relative to the fact table (one predicate's
+    edges), so each union costs a scan, not a shuffle."""
+    orig = triples.select("subj", "pred", "obj")
+    plus_preds, star_preds, alt_preds = set(), set(), set()
+    for _, p, _ in (*patterns, *optional):
+        if p.startswith("?"):
+            continue
+        if "|" in p:
+            alt_preds.add(p)
+        elif p.endswith("+"):
+            plus_preds.add(p[:-1])
+        elif p.endswith("*"):
+            star_preds.add(p[:-1])
+    src = orig
+    for base in sorted(plus_preds | star_preds):
         edges = (
-            src.filter(F.col("pred") == base)
+            orig.filter(F.col("pred") == base)
             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         )
-        clo = transitive_closure(edges).select(
-            F.col("src").alias("subj"),
-            F.lit(base + "+").alias("pred"),
-            F.col("dst").alias("obj"),
+        clo = transitive_closure(edges).select("src", "dst")
+        if base in plus_preds:
+            src = src.unionByName(
+                clo.select(
+                    F.col("src").alias("subj"),
+                    F.lit(base + "+").alias("pred"),
+                    F.col("dst").alias("obj"),
+                )
+            )
+        if base in star_preds:
+            terms = (
+                orig.select("subj")
+                .unionByName(orig.select(F.col("obj").alias("subj")))
+                .distinct()
+            )
+            star = clo.select(
+                F.col("src").alias("subj"),
+                F.lit(base + "*").alias("pred"),
+                F.col("dst").alias("obj"),
+            ).unionByName(
+                terms.select(
+                    "subj",
+                    F.lit(base + "*").alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
+            )
+            src = src.unionByName(star)
+    for alt in sorted(alt_preds):
+        parts = alt.split("|")
+        if any(not p or p.endswith(("+", "*")) for p in parts):
+            raise ValueError(
+                f"unsupported property path {alt!r} (alternation does "
+                "not nest with +/*)"
+            )
+        src = src.unionByName(
+            orig.filter(F.col("pred").isin(parts)).select(
+                "subj", F.lit(alt).alias("pred"), "obj"
+            )
         )
-        src = src.unionByName(clo)
     return src
 
 

@@ -530,6 +530,31 @@ def test_sparql_property_path_closure(spark):
     assert [r.e for r in rows] == ["ent:1"]
 
 
+def test_sparql_property_path_star_and_alternation(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    # zero-or-more: closure plus the zero-length self-binding of Thing
+    rows = sparql_query(
+        kg, "SELECT ?t WHERE { ?t subClassOf* Thing } ORDER BY ?t"
+    ).collect()
+    assert [r.t for r in rows] == ["Agent", "Person", "Thing"]
+    # alternation: union of the two predicates' edge sets
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?s ?o WHERE { ?s subClassOf|name ?o } "
+        "ORDER BY ?s ?o",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Agent", "Thing"), ("Person", "Agent"),
+        ("ent:1", "Ada"), ("ent:2", "Paris"),
+    ]
+    with _pt.raises(ValueError):  # alternation does not nest with +/*
+        sparql_query(kg, "SELECT ?s WHERE { ?s name|subClassOf+ ?o }")
+
+
 def test_sparql_rejects_junk(spark):
     import pytest as _pt
 
