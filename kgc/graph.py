@@ -493,7 +493,7 @@ def bgp_query(
 #           [{ tp ... } UNION { tp ... } [UNION ...]]
 #           [MINUS { tp ... }]
 #           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]  ... }
-#   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n]
+#   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
 #
 # plus the property-path forms that matter for RDFS-style KGs: a
 # predicate written `p+` (one-or-more) expands to the path-doubling
@@ -548,7 +548,7 @@ def _sparql_unquote(tok: str) -> str:
 def parse_sparql(text: str) -> dict:
     """Parse the SPARQL subset to a plain dict:
     {select, distinct, patterns, optional, filters, order, limit,
-    unions, minus, values}.  ``filters`` entries are tagged:
+    offset, unions, minus, values}.  ``filters`` entries are tagged:
     ("cmp", lhs, op, rhs) | ("regex", var, pat, flags) |
     ("bound", var, positive).  ``unions`` is a list of blocks, each a
     list of branch pattern-lists; ``minus`` a list of pattern-lists;
@@ -724,6 +724,7 @@ def parse_sparql(text: str) -> dict:
     take("}")
     order: list[tuple[str, bool]] = []
     limit = None
+    offset = None
     while peek() is not None:
         t = take()
         if t.upper() == "ORDER":
@@ -740,12 +741,15 @@ def parse_sparql(text: str) -> dict:
                     order.append((d[1:], True))
         elif t.upper() == "LIMIT":
             limit = int(take())
+        elif t.upper() == "OFFSET":
+            offset = int(take())
         else:
             raise ValueError(f"unexpected trailing token {t!r}")
     return {
         "select": select, "distinct": distinct, "patterns": patterns,
         "optional": optional, "filters": filters, "order": order,
-        "limit": limit, "unions": unions, "minus": minus, "values": values,
+        "limit": limit, "offset": offset, "unions": unions, "minus": minus,
+        "values": values,
     }
 
 
@@ -996,6 +1000,8 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
             *[F.col(v).asc() if asc else F.col(v).desc()
               for v, asc in q["order"]]
         )
+    if q["offset"] is not None:
+        out = out.offset(q["offset"])
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
@@ -1107,6 +1113,8 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
             *[F.col(v).asc() if asc else F.col(v).desc()
               for v, asc in q["order"]]
         )
+    if q["offset"] is not None:
+        out = out.offset(q["offset"])
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out

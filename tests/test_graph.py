@@ -530,6 +530,18 @@ def test_sparql_property_path_closure(spark):
     assert [r.e for r in rows] == ["ent:1"]
 
 
+def test_sparql_offset(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e WHERE { ?d mentions ?e } "
+        "ORDER BY ?e LIMIT 1 OFFSET 1",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:2"]
+
+
 def test_sparql_property_path_star_and_alternation(spark):
     import pytest as _pt
 
