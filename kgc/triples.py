@@ -552,6 +552,57 @@ def render_jsonld(triples: DataFrame) -> DataFrame:
     )
 
 
+def flatten_jsonld_node(doc_id: str, seg_id: int, node: dict) -> list:
+    """One JSON-LD @graph node → [(subj, pred, obj, obj_type)].  The
+    kgc.golden.flatten_node rules (bit-identical on @id-free nodes —
+    hypothesis-pinned in tests/test_properties.py) plus "@id" handling:
+    node @id → subject, {"@id"}-only dicts → node-reference triples,
+    dicts with @id + props nest under that id instead of a path blank.
+    Pure Python — the per-row kernel of from_jsonld's Arrow batches."""
+    from kgc.golden import _DATE_PREDS, is_valid_date, seg_subject
+
+    rows: list = []
+
+    def ref_or_blank(s, p, o, blank_id):
+        keys = set(o) - {"@context"}
+        if keys == {"@id"}:
+            rows.append((s, p, o["@id"], "node"))
+            return
+        b = o.get("@id") or blank_id
+        rows.append((s, p, b, "node"))
+        for k, v in o.items():
+            if k in ("@context", "@id"):
+                continue
+            emit(b, k, v)
+
+    def emit(s, p, o):
+        if isinstance(o, bool):
+            rows.append((s, p, "true" if o else "false", "literal"))
+        elif isinstance(o, (int, float)):
+            o = int(o) if isinstance(o, float) and o.is_integer() else o
+            rows.append((s, p, str(o), "literal"))
+        elif isinstance(o, str):
+            if o == "":
+                return
+            t = "date" if p in _DATE_PREDS and is_valid_date(o) else "literal"
+            rows.append((s, p, o, t))
+        elif isinstance(o, dict):
+            ref_or_blank(s, p, o, f"{s}/{p}")
+        elif isinstance(o, list):
+            for i, item in enumerate(o):
+                if isinstance(item, dict):
+                    ref_or_blank(s, p, item, f"{s}/{p}/{i}")
+                else:
+                    emit(s, p, item)
+
+    subj = node.get("@id") or seg_subject(doc_id, seg_id)
+    for k, v in node.items():
+        if k in ("@context", "@id"):
+            continue
+        emit(subj, k, v)
+    return rows
+
+
 def from_jsonld(
     docs: DataFrame, doc_col: str = "doc_id", json_col: str = "jsonld"
 ) -> DataFrame:
@@ -588,8 +639,6 @@ def from_jsonld(
 
     import pandas as pd
 
-    from kgc.golden import _DATE_PREDS, is_valid_date, seg_subject
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
@@ -601,49 +650,7 @@ def from_jsonld(
         ]
     )
     cols = ["doc_id", "seg_id", "subj", "pred", "obj", "obj_type"]
-
-    def _flatten(doc_id: str, seg_id: int, node: dict) -> list:
-        rows: list = []
-
-        def ref_or_blank(s, p, o, blank_id):
-            """dict object → reference, @id-subject, or path blank."""
-            keys = set(o) - {"@context"}
-            if keys == {"@id"}:
-                rows.append((s, p, o["@id"], "node"))
-                return
-            b = o.get("@id") or blank_id
-            rows.append((s, p, b, "node"))
-            for k, v in o.items():
-                if k in ("@context", "@id"):
-                    continue
-                emit(b, k, v)
-
-        def emit(s, p, o):
-            if isinstance(o, bool):
-                rows.append((s, p, "true" if o else "false", "literal"))
-            elif isinstance(o, (int, float)):
-                o = int(o) if isinstance(o, float) and o.is_integer() else o
-                rows.append((s, p, str(o), "literal"))
-            elif isinstance(o, str):
-                if o == "":
-                    return
-                t = "date" if p in _DATE_PREDS and is_valid_date(o) else "literal"
-                rows.append((s, p, o, t))
-            elif isinstance(o, dict):
-                ref_or_blank(s, p, o, f"{s}/{p}")
-            elif isinstance(o, list):
-                for i, item in enumerate(o):
-                    if isinstance(item, dict):
-                        ref_or_blank(s, p, item, f"{s}/{p}/{i}")
-                    else:
-                        emit(s, p, item)
-
-        subj = node.get("@id") or seg_subject(doc_id, seg_id)
-        for k, v in node.items():
-            if k in ("@context", "@id"):
-                continue
-            emit(subj, k, v)
-        return rows
+    _flatten = flatten_jsonld_node
 
     def _parse(batches):
         for pdf in batches:

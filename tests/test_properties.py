@@ -104,3 +104,43 @@ class TestPackerProperties:
         assert got == words
         for s in segs:
             assert s["n_tokens"] <= max_tokens
+
+
+_JL_KEYS = st.sampled_from(
+    ["name", "startDate", "datePublished", "keywords", "a", "b", "été"]
+)
+_JL_SCALARS = st.one_of(
+    st.text(alphabet=_CHARS, max_size=24),
+    st.integers(-10**6, 10**6),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.none(),
+    st.sampled_from(["2024-02-29", "2023-02-29", "2024-13-01", ""]),
+)
+_JL_VALUES = st.recursive(
+    _JL_SCALARS,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(keys=_JL_KEYS, values=kids, max_size=3),
+    ),
+    max_leaves=12,
+)
+_JL_NODE = st.dictionaries(keys=_JL_KEYS, values=_JL_VALUES, max_size=5)
+
+
+class TestJsonldFlattenParity:
+    """The distributed from_jsonld kernel must equal the trusted
+    driver-side fixture loader (kgc.golden.flatten_node) on EVERY
+    @id-free JSON-LD node, not just the two committed fixtures —
+    generative coverage over nested dicts/lists/scalars including
+    date-typed predicates and empty-string drops."""
+
+    @given(_JL_NODE)
+    @settings(max_examples=300, deadline=None)
+    def test_matches_golden_flatten(self, node):
+        from kgc.golden import flatten_node
+        from kgc.triples import flatten_jsonld_node
+
+        got = flatten_jsonld_node("d1", 3, node)
+        want = [(s, p, o, t) for _, _, s, p, o, t in flatten_node("d1", 3, node)]
+        assert got == want
