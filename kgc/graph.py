@@ -877,9 +877,17 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
       * the required patterns compile through bgp_query (selectivity-
         ordered equi-joins, broadcast dimension legs);
       * each ``{A} UNION {B}`` block compiles every branch through
-        bgp_query, NULL-pads each branch to the block's variable set
-        (SPARQL union semantics), unions them, and equi-joins the block
-        into the solution on shared variables;
+        bgp_query; a leading block NULL-pads each branch to the block's
+        variable set and unions them (SPARQL union semantics).  A block
+        joining into an existing solution distributes the join over the
+        branches — Join(A ∪ B, C) = Join(A, C) ∪ Join(B, C) — so each
+        branch equi-joins on ITS OWN shared variables: a variable a
+        branch does not bind is simply not a join key there (SPARQL
+        compatibility: unbound matches anything) and the solution's
+        binding survives into the output instead of a NULL-padded row
+        being dropped by an equi-join on NULL.  The solution subtree is
+        referenced once per branch — persist upstream if it is
+        expensive (the suite legs pin the entity-triple table);
       * each ``VALUES`` block becomes an inline literal DataFrame —
         broadcast-joined (it is query text, definitionally tiny): the
         parameterized batch-probe shape a warehouse consumer runs;
@@ -905,30 +913,46 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         raise ValueError("OPTIONAL requires at least one required pattern")
 
     for branches in q["unions"]:
-        block_vars = sorted(set().union(*(_pattern_vars(b) for b in branches)))
-        padded = []
+        block_vars = set().union(*(_pattern_vars(b) for b in branches))
+        if sol is None:
+            padded = []
+            for b in branches:
+                bsol = bgp_query(src, b, **bgp_kwargs)
+                padded.append(
+                    bsol.select(*[
+                        F.col(v) if v in bsol.columns
+                        else F.lit(None).cast("string").alias(v)
+                        for v in sorted(block_vars)
+                    ])
+                )
+            sol = padded[0]
+            for p in padded[1:]:
+                sol = sol.unionByName(p)
+            continue
+        # Join(A ∪ B, C) = Join(A, C) ∪ Join(B, C): per-branch
+        # equi-joins on the branch's own bound variables, outputs
+        # padded to the combined variable set.
+        out_vars = sorted(set(sol.columns) | block_vars)
+        parts = []
         for b in branches:
             bsol = bgp_query(src, b, **bgp_kwargs)
-            padded.append(
-                bsol.select(*[
-                    F.col(v) if v in bsol.columns
-                    else F.lit(None).cast("string").alias(v)
-                    for v in block_vars
-                ])
-            )
-        block = padded[0]
-        for p in padded[1:]:
-            block = block.unionByName(p)
-        if sol is None:
-            sol = block
-        else:
-            shared = sorted(set(sol.columns) & set(block.columns))
+            shared = sorted(set(sol.columns) & set(bsol.columns))
             if not shared:
                 raise ValueError(
-                    "UNION block shares no variable with the rest of the "
-                    "group (cross product)"
+                    f"UNION branch {b} shares no variable with the rest "
+                    "of the group (cross product)"
                 )
-            sol = sol.join(block, on=shared)
+            j = sol.join(bsol, on=shared)
+            parts.append(
+                j.select(*[
+                    F.col(v) if v in j.columns
+                    else F.lit(None).cast("string").alias(v)
+                    for v in out_vars
+                ])
+            )
+        sol = parts[0]
+        for p in parts[1:]:
+            sol = sol.unionByName(p)
 
     for vars_, rows in q["values"]:
         spark = triples.sparkSession

@@ -607,6 +607,28 @@ def test_sparql_union_null_pads_and_joins(spark):
     assert [r.d for r in rows] == ["doc:1", "doc:2"]
 
 
+def test_sparql_union_join_distributes_over_branches(spark):
+    """Join(A UNION B, C) = Join(A,C) UNION Join(B,C): a variable one
+    branch does not bind is not a join key for that branch (SPARQL
+    compatibility — unbound matches anything), and the solution's own
+    binding survives rather than being dropped by an equi-join against
+    the branch's NULL padding."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        "SELECT ?e ?n ?t WHERE { ?e name ?n . "
+        '{ ?e "@type" ?t } UNION { ?e name ?n } } ORDER BY ?e ?t',
+    ).collect()
+    # branch 1 joins on e and keeps n from the required pattern;
+    # branch 2 joins on (e, n) and leaves t unbound
+    assert [tuple(r) for r in rows] == [
+        ("ent:1", "Ada", None), ("ent:1", "Ada", "Person"),
+        ("ent:2", "Paris", None), ("ent:2", "Paris", "Place"),
+    ]
+
+
 def test_sparql_values_probe(spark):
     from kgc.graph import sparql_query
 
