@@ -1178,7 +1178,10 @@ def q_graph_suite(spark, sf_dir):
     (leg jsonld_rt: render_jsonld_nested(include_ids=True) →
     from_jsonld must reproduce the KG bit-for-bit; the oracle is the
     triple table itself) + DESCRIBE (subject-CBD of every mentioned
-    entity) + ASK (existence probes, one true one false).  Legs tagged
+    entity) + ASK (existence probes, one true one false) + KG snapshot
+    diff (leg kg_diff: yesterday's KG vs a perturbed today's — events
+    edges dropped, CONSTRUCTed cites added — must report exactly those;
+    kgc.triples.kg_diff).  Legs tagged
     (fn, key, out); ints ride as strings (formatting-exact);
     clustering rides 1e6-scaled."""
     # ONE persisted entity-triple table feeds all six KG-consumer legs
@@ -1314,11 +1317,33 @@ def q_graph_suite(spark, sf_dir):
         "ask", F.col("k"),
         F.when(F.col("ask"), F.lit("true")).otherwise(F.lit("false")),
     )
+    # KG snapshot diff: today's run = yesterday's KG minus the events
+    # edges plus a CONSTRUCTed cites derivation — kg_diff must report
+    # exactly those as removed/added (the per-run QA gate between two
+    # Iceberg snapshots; kgc.triples.kg_diff)
+    from kgc.triples import kg_diff
+
+    new_kg = et.filter(F.col("pred") != "events").select(
+        "subj", "pred", "obj"
+    ).unionByName(
+        sparql_construct(
+            et,
+            'CONSTRUCT { ?d cites ?p } '
+            'WHERE { ?d mentions ?p . ?p "@type" Person }',
+        ).select("subj", "pred", "obj")
+    )
+    diff = _leg(
+        kg_diff(et, new_kg),
+        "kg_diff",
+        F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj")),
+        F.col("change"),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
         .unionByName(agg).unionByName(con).unionByName(ops)
         .unionByName(rt).unionByName(desc).unionByName(ask)
+        .unionByName(diff)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4129,7 +4154,25 @@ SELECT 'ask', 'has_mentions',
 UNION ALL
 SELECT 'ask', 'no_such_pred',
        CASE WHEN EXISTS (SELECT 1 FROM etrip WHERE pred = 'nosuchpred')
-            THEN 'true' ELSE 'false' END"""
+            THEN 'true' ELSE 'false' END
+UNION ALL
+SELECT 'kg_diff', subj || '|' || pred || '|' || obj, chg FROM (
+  SELECT subj, pred, obj, 'added' AS chg FROM (
+    SELECT subj, 'cites' AS pred, obj FROM
+      (SELECT DISTINCT m.subj, m.obj FROM etrip m
+       JOIN etrip t ON t.subj = m.obj AND t.pred = '@type' AND t.obj = 'Person'
+       WHERE m.pred = 'mentions')
+    EXCEPT SELECT subj, pred, obj FROM etrip)
+  UNION ALL
+  SELECT subj, pred, obj, 'removed' FROM (
+    SELECT subj, pred, obj FROM etrip
+    EXCEPT
+    SELECT subj, pred, obj FROM (
+      SELECT subj, pred, obj FROM etrip WHERE pred != 'events'
+      UNION
+      SELECT DISTINCT m.subj, 'cites', m.obj FROM etrip m
+      JOIN etrip t ON t.subj = m.obj AND t.pred = '@type' AND t.obj = 'Person'
+      WHERE m.pred = 'mentions')))"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

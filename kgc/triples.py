@@ -552,6 +552,43 @@ def render_jsonld(triples: DataFrame) -> DataFrame:
     )
 
 
+def kg_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """KG snapshot diff: (change ∈ added|removed, *keys) — every triple
+    present in exactly one of two KG snapshots.  The per-run QA gate a
+    production pipeline puts between two Iceberg snapshots ("what did
+    today's extractor change, and is the drift expected?"), pairing
+    with validate_triples and the per-partition lineage metrics.
+
+    Scale shape: two left_anti hash joins on the same key set — both
+    sides shuffle once on (subj, pred, obj) and the exchanges are
+    symmetric; no driver-side set materialization.  RDF set semantics
+    (each side deduped on the keys first)."""
+    ks = list(keys)
+    o = old.select(*ks).dropDuplicates(ks)
+    n = new.select(*ks).dropDuplicates(ks)
+    added = n.join(o, on=ks, how="left_anti").select(
+        F.lit("added").alias("change"), *ks
+    )
+    removed = o.join(n, on=ks, how="left_anti").select(
+        F.lit("removed").alias("change"), *ks
+    )
+    return added.unionByName(removed)
+
+
+def kg_diff_stats(diff: DataFrame) -> DataFrame:
+    """Per-(change, pred) drift counts over a kg_diff output — the
+    one-glance table an on-call reads: a spike of removed 'name'
+    triples is a broken upstream stage, not corpus drift."""
+    return diff.groupBy("change", "pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.count_distinct(F.col("subj")).alias("n_subjects"),
+    )
+
+
 def flatten_jsonld_node(doc_id: str, seg_id: int, node: dict) -> list:
     """One JSON-LD @graph node → [(subj, pred, obj, obj_type)].  The
     kgc.golden.flatten_node rules (bit-identical on @id-free nodes —

@@ -417,6 +417,29 @@ def test_ntriples_parser_skips_malformed_and_comments(spark):
     assert len(out) == 1 and out[0].obj == "ok"
 
 
+def test_kg_diff_and_stats(spark):
+    from kgc.triples import kg_diff, kg_diff_stats
+
+    old = spark.createDataFrame(
+        [("a", "p", "1", "node"), ("b", "p", "2", "node"),
+         ("b", "p", "2", "node")],  # dup: RDF set semantics
+        "subj string, pred string, obj string, obj_type string",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "1"), ("c", "q", "3")],
+        "subj string, pred string, obj string",
+    )
+    d = kg_diff(old, new)
+    assert sorted(tuple(r) for r in d.collect()) == [
+        ("added", "c", "q", "3"), ("removed", "b", "p", "2"),
+    ]
+    stats = {
+        (r.change, r.pred): (r.n_triples, r.n_subjects)
+        for r in kg_diff_stats(d).collect()
+    }
+    assert stats == {("added", "q"): (1, 1), ("removed", "p"): (1, 1)}
+
+
 # ------------------------------------------------------------- SPARQL ---
 def _kg(spark):
     rows = [
