@@ -144,3 +144,35 @@ class TestJsonldFlattenParity:
         got = flatten_jsonld_node("d1", 3, node)
         want = [(s, p, o, t) for _, _, s, p, o, t in flatten_node("d1", 3, node)]
         assert got == want
+
+
+class TestSparqlParserTotality:
+    """The front-end's contract is parse-or-ValueError — a silent
+    mis-parse OR an unhandled IndexError against a 10^12-row table are
+    both unacceptable.  Fuzz arbitrary token soup (heavy on the
+    grammar's own punctuation) and assert totality."""
+
+    @given(
+        st.text(
+            alphabet=_CHARS + '{}()?<>"*+|.' + "SELECTWHEREUNIONVALUES",
+            max_size=120,
+        )
+    )
+    @settings(max_examples=500, deadline=None)
+    def test_parse_sparql_never_crashes(self, s):
+        from kgc.graph import parse_sparql
+
+        try:
+            parse_sparql(s)
+        except ValueError:
+            pass
+
+    @given(st.text(alphabet=_CHARS + '{}()?<>"', max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_with_valid_prefix_never_crashes(self, tail):
+        from kgc.graph import parse_sparql
+
+        try:
+            parse_sparql("SELECT ?a WHERE { ?a p ?b . " + tail)
+        except ValueError:
+            pass
