@@ -1223,7 +1223,8 @@ def q_graph_suite(spark, sf_dir):
             et,
             """SELECT DISTINCT ?d ?p ?pl ?pname ?plname WHERE {
                  ?d mentions ?p . ?p "@type" Person . ?p name ?pname .
-                 ?d locations ?pl . ?pl name ?plname }""",
+                 ?d locations ?pl . ?pl name ?plname
+                 FILTER NOT EXISTS { ?d events ?ev } }""",
         ),
         "bgp",
         F.concat_ws("|", F.col("d"), F.col("p"), F.col("pl")),
@@ -1240,9 +1241,11 @@ def q_graph_suite(spark, sf_dir):
         sparql_aggregate(
             et,
             "SELECT ?e (COUNT(DISTINCT ?d) AS ?nd) "
+            "(GROUP_CONCAT(DISTINCT ?d) AS ?ds) "
             "WHERE { ?d mentions ?e } GROUP BY ?e HAVING (?nd >= 2)",
         ),
-        "sparql_agg", F.col("e"), F.col("nd").cast("string"),
+        "sparql_agg", F.col("e"),
+        F.concat_ws("|", F.col("nd").cast("string"), F.col("ds")),
     )
     con = _leg(
         to_ntriples(
@@ -4111,6 +4114,7 @@ JOIN etrip pn ON pn.subj = m.obj AND pn.pred = 'name'
 JOIN etrip l  ON l.subj = m.subj AND l.pred = 'locations'
 JOIN etrip ln ON ln.subj = l.obj AND ln.pred = 'name'
 WHERE m.pred = 'mentions'
+  AND m.subj NOT IN (SELECT subj FROM etrip WHERE pred = 'events')
 UNION ALL
 SELECT 'ntriples', md5(line), line FROM (
   SELECT '<kgc:' || subj || '> ' ||
@@ -4124,7 +4128,9 @@ SELECT 'ntriples', md5(line), line FROM (
                    chr(9), chr(92) || 't') || '"' END || ' .' AS line
   FROM etrip)
 UNION ALL
-SELECT 'sparql_agg', obj, count(DISTINCT subj)::VARCHAR
+SELECT 'sparql_agg', obj,
+       count(DISTINCT subj)::VARCHAR || '|' ||
+       string_agg(DISTINCT subj, ' ' ORDER BY subj)
 FROM etrip WHERE pred = 'mentions' GROUP BY obj
 HAVING count(DISTINCT subj) >= 2
 UNION ALL

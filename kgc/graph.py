@@ -603,7 +603,7 @@ def parse_sparql(text: str) -> dict:
     take("WHERE")
     take("{")
     patterns, optional, filters = [], [], []
-    unions, minus, values = [], [], []
+    unions, minus, values, exists = [], [], [], []
 
     def braced_block():
         take("{")
@@ -693,7 +693,18 @@ def parse_sparql(text: str) -> dict:
             optional.extend(braced_block())
         elif t.upper() == "FILTER":
             take()
-            filters.append(filter_expr())
+            nxt = peek()
+            if nxt is not None and nxt.upper() in ("EXISTS", "NOT"):
+                neg = nxt.upper() == "NOT"
+                take()
+                if neg:
+                    take("EXISTS")
+                pats = braced_block()
+                if not pats:
+                    raise ValueError("empty EXISTS group")
+                exists.append((not neg, pats))
+            else:
+                filters.append(filter_expr())
         elif t == "{":
             # { tp... } UNION { tp... } [UNION { tp... }]*
             branches = [braced_block()]
@@ -749,7 +760,7 @@ def parse_sparql(text: str) -> dict:
         "select": select, "distinct": distinct, "patterns": patterns,
         "optional": optional, "filters": filters, "order": order,
         "limit": limit, "offset": offset, "unions": unions, "minus": minus,
-        "values": values,
+        "values": values, "exists": exists,
     }
 
 
@@ -904,6 +915,8 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             all_pats.extend(b)
     for m in q["minus"]:
         all_pats.extend(m)
+    for _, e in q["exists"]:
+        all_pats.extend(e)
     src = _expand_property_paths(triples, all_pats, [])
 
     sol: DataFrame | None = None
@@ -1003,6 +1016,30 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
                 how="left_anti",
             )
 
+    for positive, epats in q["exists"]:
+        esol = bgp_query(src, epats, **bgp_kwargs)
+        shared = sorted(set(sol.columns) & set(esol.columns))
+        if shared:
+            # correlated: substitution over the shared variables is an
+            # exact semi/anti hash join on NULL-free solutions
+            sol = sol.join(
+                esol.select(*shared).dropDuplicates(), on=shared,
+                how="left_semi" if positive else "left_anti",
+            )
+        else:
+            # uncorrelated: keep everything iff the group has (no)
+            # solutions — a 1-row existence scalar, broadcast
+            flag = (
+                esol.select(F.lit(1).alias("_e"))
+                .limit(1)
+                .agg((F.count("_e") > 0).alias("_has"))
+            )
+            sol = (
+                sol.crossJoin(F.broadcast(flag))
+                .filter(F.col("_has") if positive else ~F.col("_has"))
+                .drop("_has")
+            )
+
     return _apply_filters(sol, q["filters"])
 
 
@@ -1050,7 +1087,8 @@ _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max,
             "AVG": F.avg}
 
 _SELECT_AGG = re.compile(
-    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?[A-Za-z_]\w*|\*)\s*\)"
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE)"
+    r"\s*\(\s*(DISTINCT\s+)?(\?[A-Za-z_]\w*|\*)\s*\)"
     r"\s+AS\s+(\?[A-Za-z_]\w*)\s*\)",
     re.IGNORECASE,
 )
@@ -1063,7 +1101,11 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
       [HAVING (?alias op const [&& ?alias op const]*)]
       [ORDER BY ...] [LIMIT n]
 
-    AGG ∈ COUNT|SUM|MIN|MAX|AVG; COUNT(DISTINCT ?v) supported.  SUM/AVG
+    AGG ∈ COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE;
+    COUNT(DISTINCT ?v) and GROUP_CONCAT(DISTINCT ?v) supported —
+    GROUP_CONCAT emits sorted with the spec-default ' ' separator
+    (deterministic under any partitioning); SAMPLE is MIN (any
+    value is conformant, MIN is the deterministic one).  SUM/AVG
     cast the (string-typed) binding to double — the caller owns numeric
     determinism, same as SQL.  HAVING compares aggregate ALIASES
     (numeric literals compare as doubles, anything else as strings) and
@@ -1111,7 +1153,18 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
         col = F.col(var) if var else F.lit(1)
         if fn in ("SUM", "AVG") and var:
             col = col.cast("double")
-        if dist:
+        if fn == "GROUP_CONCAT":
+            # SPARQL leaves element order undefined; emit SORTED with
+            # the spec-default " " separator so the result is
+            # deterministic under any partitioning (and oracle-exact)
+            bag = F.collect_set(col) if dist else F.collect_list(col)
+            exprs.append(
+                F.array_join(F.sort_array(bag), " ").alias(alias)
+            )
+        elif fn == "SAMPLE":
+            # any value is spec-conformant; MIN is the deterministic one
+            exprs.append(F.min(col).alias(alias))
+        elif dist:
             if fn != "COUNT":
                 raise ValueError("DISTINCT only supported under COUNT")
             exprs.append(F.count_distinct(col).alias(alias))

@@ -800,6 +800,53 @@ def test_sparql_aggregate_groupby(spark):
     assert one[0].n == 3
 
 
+def test_sparql_filter_exists(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    # correlated NOT EXISTS: drop entities doc:2 mentions
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e "@type" ?t . '
+        "FILTER NOT EXISTS { doc:2 mentions ?e } }",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1"]
+    # correlated EXISTS: keep only entities that have a name
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e "@type" ?t . '
+        "FILTER EXISTS { ?e name ?n } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1", "ent:2"]
+    # uncorrelated: EXISTS over an empty group annihilates, NOT EXISTS
+    # over the same group is a no-op
+    assert sparql_query(
+        kg,
+        "SELECT ?e WHERE { ?e name ?n . "
+        "FILTER EXISTS { ?x nosuchpred ?y } }",
+    ).count() == 0
+    assert sparql_query(
+        kg,
+        "SELECT ?e WHERE { ?e name ?n . "
+        "FILTER NOT EXISTS { ?x nosuchpred ?y } }",
+    ).count() == 2
+
+
+def test_sparql_group_concat_and_sample(spark):
+    from kgc.graph import sparql_aggregate
+
+    kg = _kg(spark)
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (GROUP_CONCAT(DISTINCT ?d) AS ?ds) (SAMPLE(?d) AS ?s) "
+        "WHERE { ?d mentions ?e } GROUP BY ?e ORDER BY ?e",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("ent:1", "doc:1", "doc:1"),
+        ("ent:2", "doc:1 doc:2", "doc:1"),
+    ]
+
+
 def test_sparql_aggregate_having(spark):
     import pytest as _pt
 
