@@ -1162,13 +1162,15 @@ def q_graph_suite(spark, sf_dir):
     SELECT/DISTINCT/OPTIONAL/FILTER/ORDER/LIMIT/property-path `p+` —
     parsed and compiled onto bgp_query's selectivity-ordered
     self-joins; here the 5-pattern person-colocated-with-place
-    chain+star, so the driver row pins parser + engine) + the W3C
+    chain+star plus a NOT EXISTS negation clause, so the driver row
+    pins parser + engine + the anti-join compilation) + the W3C
     N-Triples serialization of the entity-triple table
     (kgc.triples.to_ntriples: grammar-exact STRING_LITERAL_QUOTE
     escaping, rdf:type mapping — the KG interchange/bulk-load format;
     leg key = md5(line), out = the line itself, so the oracle pins the
     serialization byte-for-byte) + SPARQL GROUP BY aggregation
-    (kgc.graph.sparql_aggregate — COUNT DISTINCT per entity) + SPARQL
+    (kgc.graph.sparql_aggregate — COUNT DISTINCT + GROUP_CONCAT
+    DISTINCT per entity, HAVING-gated) + SPARQL
     CONSTRUCT → derived KG → N-Triples (kgc.graph.sparql_construct
     feeding to_ntriples: the leg's bytes pin query-text → template
     instantiation → serialization end-to-end) + SPARQL group algebra
