@@ -9,7 +9,8 @@ document spans.
 Decode modes:
   * mode='fake'   — deterministic md5-derived features (real schema,
     real batching, real partitioning; values are a stable fake)
-  * mode='strict' — REAL stdlib decode for WAV (RIFF/PCM via ``wave``)
+  * mode='strict' — REAL stdlib decode for WAV (RIFF/PCM via ``wave``),
+    header-grade JPEG/GIF (real dimensions, no pixel inflate)
     and PNG (chunk parse + zlib inflate + per-scanline defilter, same
     from-scratch spirit as kgc/pdf.py).  Formats that genuinely need
     third-party codecs (JPEG, MP3, MP4, …) set a per-item ``error``
@@ -229,20 +230,80 @@ def decode_png_py(payload: bytes) -> dict:
     }
 
 
+def decode_jpeg_header_py(payload: bytes) -> dict:
+    """Header-grade JPEG decode: walk the marker stream to the SOFn
+    frame header and return the REAL (width, height).  Pixel decode
+    needs a DCT codec (pillow on the cluster image) so ``features``
+    stays None — but dimensions are what the curation ops actually
+    gate on (min-resolution filters, aspect-ratio caps), and a
+    dimension read that never inflates pixels is also the cheap first
+    pass a 100 TB image manifest scan wants."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise MediaDecodeError("JPEG: bad signature")
+    pos, n = 2, len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("JPEG: marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise MediaDecodeError("JPEG: bad segment length")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                break
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return {
+                "features": None, "width": int(w), "height": int(h),
+                "sample_rate": None, "n_frames": None, "duration": None,
+            }
+        if marker == 0xDA:  # scan data before any SOF: malformed
+            break
+        pos += 2 + seglen
+    raise MediaDecodeError("JPEG: no SOF frame header (truncated?)")
+
+
+def decode_gif_header_py(payload: bytes) -> dict:
+    """Header-grade GIF decode: logical-screen-descriptor dimensions
+    (GIF87a/89a).  LZW frame decode is left to a codec; ``features``
+    stays None (same posture as JPEG)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("GIF: bad signature")
+    if len(payload) < 10:
+        raise MediaDecodeError("GIF: truncated screen descriptor")
+    w, h = struct.unpack("<HH", payload[6:10])
+    return {
+        "features": None, "width": int(w), "height": int(h),
+        "sample_rate": None, "n_frames": None, "duration": None,
+    }
+
+
 def decode_payload_py(payload: bytes) -> dict:
     """Magic-byte dispatch to the stdlib decoders.
 
-    Third-party-codec formats are recognized and named in the error so
-    quarantine rows say exactly which cluster-image dependency would
-    handle them (the round-3 strict mode raised NotImplementedError
-    here for everything)."""
+    WAV and PNG decode fully (params + pixels/samples + features);
+    JPEG and GIF decode to header grade (real dimensions, features
+    None — pixel decode needs a codec).  Remaining third-party-codec
+    formats are recognized and named in the error so quarantine rows
+    say exactly which cluster-image dependency would handle them (the
+    round-3 strict mode raised NotImplementedError here for
+    everything)."""
     p = payload or b""
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_py(p)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return decode_wav_py(p)
     if p[:3] == b"\xff\xd8\xff":
-        raise MediaDecodeError("JPEG requires pillow on the cluster image")
+        return decode_jpeg_header_py(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_header_py(p)
     if p[:3] == b"ID3" or p[:2] in (b"\xff\xfb", b"\xff\xf3"):
         raise MediaDecodeError("MP3 requires librosa/pyav on the cluster image")
     if p[4:8] == b"ftyp":

@@ -302,8 +302,23 @@ def test_decoders_pure_python():
     # row1 Sub: [7, 9]; row2 Paeth: px0 pr=b(7)→17, px1 pr=a(17)→17
     assert abs(d3["features"][3] - (7 + 9 + 17 + 17) / 4 / 255) < 1e-5
 
+    # header-grade JPEG/GIF: REAL dimensions, features None
+    from kgc.media import decode_gif_header_py, decode_jpeg_header_py
+
+    jpg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+           + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 3, 4, 1)
+           + b"\x01\x11\x00" + b"\xff\xd9")
+    dj = decode_jpeg_header_py(jpg)
+    assert (dj["width"], dj["height"], dj["features"]) == (4, 3, None)
+    assert decode_payload_py(jpg)["width"] == 4
+    gif = b"GIF89a" + struct.pack("<HH", 7, 5) + b"\x00\x00\x00\x3b"
+    dg = decode_gif_header_py(gif)
+    assert (dg["width"], dg["height"], dg["features"]) == (7, 5, None)
+    assert decode_payload_py(gif)["height"] == 5
+
     for bad, msg in [
-        (b"\xff\xd8\xffrest", "pillow"),
+        (b"\xff\xd8\xffrest", "JPEG"),
+        (b"GIF89a\x07", "GIF"),
         (b"ID3abc", "librosa"),
         (b"xxxxftypmp42", "pyav"),
         (b"garbage", "unrecognized"),
@@ -332,7 +347,7 @@ def test_strict_decode_spark(spark):
     assert (by_ref["m:png"]["width"], by_ref["m:png"]["height"]) == (4, 3)
     assert by_ref["m:png"]["sample_rate"] is None
     (q,) = bad.collect()
-    assert q["media_ref"] == "m:jpg" and "pillow" in q["error"]
+    assert q["media_ref"] == "m:jpg" and "JPEG" in q["error"]
     # triples: audio rows get sampleRate/duration, image rows get dims
     t = media.media_triples(clean)
     preds = {(r["subj"], r["pred"]): r["obj"] for r in t.collect()}
@@ -370,7 +385,7 @@ def test_pdf_images_to_media_strict_decode(spark):
     # mean over the 36 deterministic sample bytes
     assert abs(ok["features"][3] - sum(range(36)) / 36 / 255) < 1e-5
     (q,) = bad.collect()
-    assert q["media_ref"] == "docA#p0/Im2" and "pillow" in q["error"]
+    assert q["media_ref"] == "docA#p0/Im2" and "JPEG" in q["error"]
 
 
 def test_stream_exact_dedup_first_per_key(spark, events_dir):
