@@ -285,12 +285,121 @@ def decode_gif_header_py(payload: bytes) -> dict:
     }
 
 
+_MP3_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+           0: (11025, 12000, 8000)}  # version bits → sample rates
+_MP3_BR_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BR_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+
+def decode_mp3_header_py(payload: bytes) -> dict:
+    """Header-grade MP3 decode: skip an ID3v2 tag, scan to the first
+    MPEG audio frame sync, read sample rate + bitrate from the frame
+    header, and estimate duration from the remaining byte count at
+    that bitrate (exact for CBR, the common podcast/speech-corpus
+    case; VBR is a documented approximation).  No frame decode —
+    ``features`` stays None (same posture as JPEG/GIF)."""
+    p = payload or b""
+    pos = 0
+    if p[:3] == b"ID3":
+        if len(p) < 10:
+            raise MediaDecodeError("MP3: truncated ID3v2 header")
+        pos = 10 + (
+            ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14)
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        )
+    scan_end = min(len(p) - 3, pos + 65536)
+    while pos < scan_end:
+        if p[pos] == 0xFF and (p[pos + 1] & 0xE0) == 0xE0:
+            b1, b2 = p[pos + 1], p[pos + 2]
+            version = (b1 >> 3) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3    # 1 = Layer III
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            if version != 1 and layer == 1 and 0 < br_idx < 15 and sr_idx != 3:
+                sr = _MP3_SR[version][sr_idx]
+                kbps = (_MP3_BR_V1 if version == 3 else _MP3_BR_V2)[br_idx]
+                dur = (len(p) - pos) * 8.0 / (kbps * 1000.0)
+                return {
+                    "features": None, "width": None, "height": None,
+                    "sample_rate": sr, "n_frames": None,
+                    "duration": round(dur, 3),
+                }
+        pos += 1
+    raise MediaDecodeError("MP3: no Layer III frame sync found")
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            return
+        yield typ, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def decode_mp4_header_py(payload: bytes) -> dict:
+    """Header-grade MP4/ISO-BMFF decode: box walk to moov/mvhd for
+    (timescale, duration) and the first video trak's tkhd for the
+    16.16-fixed presentation (width, height).  Requires the moov box in
+    the payload (faststart layout; a moov-after-mdat stream tail is
+    quarantined with a layout-specific error).  Frame decode needs a
+    codec — ``features`` stays None."""
+    p = payload or b""
+    if p[4:8] != b"ftyp":
+        raise MediaDecodeError("MP4: no ftyp box")
+    dur = None
+    width = height = None
+    for typ, s, e in _mp4_boxes(p, 0, len(p)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(p, s, e):
+            if t2 == b"mvhd" and s2 < e2:
+                ver = p[s2]
+                if ver == 1 and s2 + 32 <= e2:
+                    (ts,) = struct.unpack(">I", p[s2 + 20 : s2 + 24])
+                    (d,) = struct.unpack(">Q", p[s2 + 24 : s2 + 32])
+                elif ver == 0 and s2 + 20 <= e2:
+                    ts, d = struct.unpack(">II", p[s2 + 12 : s2 + 20])
+                else:
+                    raise MediaDecodeError("MP4: truncated mvhd")
+                if ts:
+                    dur = round(d / ts, 3)
+            elif t2 == b"trak" and width is None:
+                for t3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    if t3 != b"tkhd" or s3 >= e3:
+                        continue
+                    off = s3 + (88 if p[s3] == 1 else 76)
+                    if off + 8 <= e3:
+                        w, h = struct.unpack(">II", p[off : off + 8])
+                        if w and h:  # audio traks carry 0x0
+                            width, height = w >> 16, h >> 16
+    if dur is None:
+        raise MediaDecodeError(
+            "MP4: no mvhd box in payload (moov-after-mdat layout?)"
+        )
+    return {
+        "features": None, "width": width, "height": height,
+        "sample_rate": None, "n_frames": None, "duration": dur,
+    }
+
+
 def decode_payload_py(payload: bytes) -> dict:
     """Magic-byte dispatch to the stdlib decoders.
 
     WAV and PNG decode fully (params + pixels/samples + features);
-    JPEG and GIF decode to header grade (real dimensions, features
-    None — pixel decode needs a codec).  Remaining third-party-codec
+    JPEG/GIF (dimensions) and MP3/MP4 (sample rate, duration, video
+    dims) decode to header grade — real metadata, features None,
+    sample/frame decode needs a codec.  Remaining third-party-codec
     formats are recognized and named in the error so quarantine rows
     say exactly which cluster-image dependency would handle them (the
     round-3 strict mode raised NotImplementedError here for
@@ -304,10 +413,10 @@ def decode_payload_py(payload: bytes) -> dict:
         return decode_jpeg_header_py(p)
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_header_py(p)
-    if p[:3] == b"ID3" or p[:2] in (b"\xff\xfb", b"\xff\xf3"):
-        raise MediaDecodeError("MP3 requires librosa/pyav on the cluster image")
+    if p[:3] == b"ID3" or p[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return decode_mp3_header_py(p)
     if p[4:8] == b"ftyp":
-        raise MediaDecodeError("MP4 requires pyav on the cluster image")
+        return decode_mp4_header_py(p)
     raise MediaDecodeError("unrecognized media payload")
 
 

@@ -319,13 +319,49 @@ def test_decoders_pure_python():
     for bad, msg in [
         (b"\xff\xd8\xffrest", "JPEG"),
         (b"GIF89a\x07", "GIF"),
-        (b"ID3abc", "librosa"),
-        (b"xxxxftypmp42", "pyav"),
+        (b"ID3abc", "MP3"),
+        (b"xxxxftypmp42", "MP4"),
         (b"garbage", "unrecognized"),
         (b"RIFFxxxxWAVEtrunc", "bad WAV"),
     ]:
         with pytest.raises(MediaDecodeError, match=msg):
             decode_payload_py(bad)
+
+
+def test_mp3_mp4_header_decode():
+    """Header-grade MP3 (ID3 skip + frame-sync sample rate + CBR
+    duration) and MP4 (mvhd duration + first video tkhd dims)."""
+    import struct
+
+    from kgc.media import (MediaDecodeError, decode_mp3_header_py,
+                           decode_mp4_header_py, decode_payload_py)
+
+    # 10-byte ID3v2 (size 0) + MPEG1 Layer III 128 kbps 44.1 kHz frame
+    # header + filler to exactly 1.0 s of CBR payload
+    mp3 = (b"ID3\x04\x00\x00\x00\x00\x00\x00"
+           + b"\xff\xfb\x90\x00" + bytes(15996))
+    d = decode_mp3_header_py(mp3)
+    assert (d["sample_rate"], d["duration"], d["features"]) == (44100, 1.0, None)
+    assert decode_payload_py(mp3)["sample_rate"] == 44100
+    # raw-sync MPEG2 variant (22.05 kHz): version bits 10, sr idx 0
+    raw = b"\xff\xf3\x90\x00" + bytes(60)
+    assert decode_payload_py(raw)["sample_rate"] == 22050
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00"
+    mvhd = (struct.pack(">I", 28) + b"mvhd" + b"\x00\x00\x00\x00"
+            + bytes(8) + struct.pack(">II", 1000, 2500))
+    tkhd = (struct.pack(">I", 92) + b"tkhd" + bytes(76)
+            + struct.pack(">II", 640 << 16, 360 << 16))
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = (struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov"
+            + mvhd + trak)
+    d = decode_mp4_header_py(ftyp + moov)
+    assert d["duration"] == 2.5 and (d["width"], d["height"]) == (640, 360)
+    assert decode_payload_py(ftyp + moov)["duration"] == 2.5
+    with pytest.raises(MediaDecodeError, match="moov-after-mdat"):
+        decode_mp4_header_py(ftyp)  # streaming layout: no moov here
+    with pytest.raises(MediaDecodeError, match="frame sync"):
+        decode_mp3_header_py(b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(64))
 
 
 def test_strict_decode_spark(spark):
