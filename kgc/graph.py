@@ -499,8 +499,10 @@ def bgp_query(
 # predicate written `p+` (one-or-more) expands to the path-doubling
 # transitive closure of that predicate's edge set (transitive_closure
 # above, log-depth joins); `p*` (zero-or-more) adds the identity
-# relation over every graph term; `p|q` (alternation) unions the
-# alternatives' edge sets as a pushed pred-IN scan.  Each is union'd
+# relation over every graph term; `p?` (zero-or-one) is edges plus
+# identity; `^p` (inverse) swaps subject and object; `p|q`
+# (alternation) unions the alternatives' edge sets as a pushed
+# pred-IN scan.  Each is union'd
 # into the pattern source under its own reserved predicate name — the
 # rest of the query planner is unchanged and the path leg joins like
 # any other pattern.
@@ -779,25 +781,33 @@ def _expand_property_paths(
         zero-length path binds any term to itself).  The term set is
         one distinct over the fact table; a pattern with a bound end
         prunes it at the join.
+      * ``p?``  (zero-or-one): p's edges plus the identity relation.
+      * ``^p``  (inverse): p's edge set with subject and object
+        swapped — a projection, zero extra work.
       * ``p|q`` (alternation): the union of the alternatives' edge
         sets — compiled as a pushed ``pred IN (p, q)`` scan, zero extra
         shuffles.  Bare terms only (IRI-bracketed alternatives would
-        tokenize apart); alternation does not nest with +/*.
+        tokenize apart); alternation does not nest with the others.
 
     One closure computation per distinct path predicate; closure
     subgraphs are tiny relative to the fact table (one predicate's
     edges), so each union costs a scan, not a shuffle."""
     orig = triples.select("subj", "pred", "obj")
     plus_preds, star_preds, alt_preds = set(), set(), set()
+    opt_preds, inv_preds = set(), set()
     for _, p, _ in (*patterns, *optional):
         if p.startswith("?"):
             continue
         if "|" in p:
             alt_preds.add(p)
+        elif p.startswith("^"):
+            inv_preds.add(p[1:])
         elif p.endswith("+"):
             plus_preds.add(p[:-1])
         elif p.endswith("*"):
             star_preds.add(p[:-1])
+        elif p.endswith("?") and len(p) > 1:
+            opt_preds.add(p[:-1])
     src = orig
     for base in sorted(plus_preds | star_preds):
         edges = (
@@ -831,6 +841,36 @@ def _expand_property_paths(
                 )
             )
             src = src.unionByName(star)
+    for base in sorted(inv_preds):
+        if base.startswith("^") or base.endswith(("+", "*", "?")):
+            raise ValueError(
+                f"unsupported property path ^{base!r} (inverse does not "
+                "nest with other path forms)"
+            )
+        src = src.unionByName(
+            orig.filter(F.col("pred") == base).select(
+                F.col("obj").alias("subj"),
+                F.lit("^" + base).alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+    for base in sorted(opt_preds):
+        terms = (
+            orig.select("subj")
+            .unionByName(orig.select(F.col("obj").alias("subj")))
+            .distinct()
+        )
+        src = src.unionByName(
+            orig.filter(F.col("pred") == base).select(
+                "subj", F.lit(base + "?").alias("pred"), "obj"
+            ).unionByName(
+                terms.select(
+                    "subj",
+                    F.lit(base + "?").alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
+            )
+        )
     for alt in sorted(alt_preds):
         parts = alt.split("|")
         if any(not p or p.endswith(("+", "*")) for p in parts):

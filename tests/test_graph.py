@@ -588,6 +588,17 @@ def test_sparql_property_path_star_and_alternation(spark):
     ]
     with _pt.raises(ValueError):  # alternation does not nest with +/*
         sparql_query(kg, "SELECT ?s WHERE { ?s name|subClassOf+ ?o }")
+    # inverse: docs reached backwards through mentions
+    rows = sparql_query(
+        kg,
+        'SELECT ?d WHERE { ?p ^mentions ?d . ?p "@type" Person } ORDER BY ?d',
+    ).collect()
+    assert [r.d for r in rows] == ["doc:1"]
+    # zero-or-one: the direct edge plus the identity binding
+    rows = sparql_query(
+        kg, "SELECT ?t WHERE { ?t subClassOf? Agent } ORDER BY ?t"
+    ).collect()
+    assert [r.t for r in rows] == ["Agent", "Person"]
 
 
 def test_sparql_rejects_junk(spark):
