@@ -23,6 +23,11 @@ Design notes
   (kind, text, media_ref, order).
 * Stages land as table writes (Iceberg on a real cluster; parquet +
   snapshot manifest locally) so resume falls out of the architecture.
+* The constructed KG is queryable in place (kgc.graph: all four
+  SPARQL 1.1 query forms compiled onto Catalyst — BGP joins, group
+  algebra, property paths, aggregates) and interchanges losslessly
+  (kgc.triples: N-Triples and JSON-LD, both directions, bit-exact
+  round trips; kg_diff for snapshot-to-snapshot QA).
 """
 
 __version__ = "0.1.0"
