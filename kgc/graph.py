@@ -982,9 +982,36 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             for p in padded[1:]:
                 sol = sol.unionByName(p)
             continue
-        # Join(A ∪ B, C) = Join(A, C) ∪ Join(B, C): per-branch
-        # equi-joins on the branch's own bound variables, outputs
-        # padded to the combined variable set.
+        join_vars = set(sol.columns) & block_vars
+        if not join_vars:
+            raise ValueError(
+                "UNION block shares no variable with the rest of the "
+                "group (cross product)"
+            )
+        if all(join_vars <= _pattern_vars(b) for b in branches):
+            # Fast path: every branch binds every join variable, so no
+            # join key can be a NULL pad — pad-then-union-then-join is
+            # exact AND joins the solution subtree ONCE instead of once
+            # per branch.
+            padded = []
+            for b in branches:
+                bsol = bgp_query(src, b, **bgp_kwargs)
+                padded.append(
+                    bsol.select(*[
+                        F.col(v) if v in bsol.columns
+                        else F.lit(None).cast("string").alias(v)
+                        for v in sorted(block_vars)
+                    ])
+                )
+            block = padded[0]
+            for p in padded[1:]:
+                block = block.unionByName(p)
+            sol = sol.join(block, on=sorted(join_vars))
+            continue
+        # General path — Join(A ∪ B, C) = Join(A, C) ∪ Join(B, C):
+        # per-branch equi-joins on the branch's own bound variables
+        # (a var a branch does not bind is not a join key there —
+        # SPARQL compatibility), outputs padded to the combined set.
         out_vars = sorted(set(sol.columns) | block_vars)
         parts = []
         for b in branches:
