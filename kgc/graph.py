@@ -486,14 +486,21 @@ def bgp_query(
 # a warehouse KG consumer actually runs against a (subj, pred, obj)
 # table —
 #
-#   SELECT [DISTINCT] (?v ... | *)
+#   SELECT [DISTINCT] (?v | (expr AS ?v)) ... | *
 #   WHERE { tp . tp ...
 #           [OPTIONAL { tp ... }]
-#           [FILTER ((?x op term) | regex(?x, "pat"[, "i"]) | [!]bound(?x))]
+#           [FILTER (bool-expr)]      — &&, ||, !, parens over
+#             (?x op term) | regex(?x, "pat"[, "i"]) | [!]bound(?x)
+#           [BIND (expr AS ?v)]
 #           [{ tp ... } UNION { tp ... } [UNION ...]]
 #           [MINUS { tp ... }]
 #           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]  ... }
 #   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
+#
+# expr (BIND / SELECT expressions) is the scalar subset a KG consumer
+# renames and derives with: ?v, "literal", numbers, + - * / (double
+# arithmetic), CONCAT, STR, STRLEN, UCASE, LCASE, COALESCE — compiled
+# to plain Catalyst Columns (_compile_scalar), zero UDFs.
 #
 # plus the property-path forms that matter for RDFS-style KGs: a
 # predicate written `p+` (one-or-more) expands to the path-doubling
@@ -505,7 +512,14 @@ def bgp_query(
 # pred-IN scan.  Each is union'd
 # into the pattern source under its own reserved predicate name — the
 # rest of the query planner is unchanged and the path leg joins like
-# any other pattern.
+# any other pattern.  A SEQUENCE path `p/q[/r...]` (bare predicate
+# names — IRI-bracketed steps tokenize apart, same restriction as
+# alternation) is rewritten at parse time into a chain of patterns
+# through fresh `?__seqN` variables — exactly the intermediate-join
+# shape bgp_query already plans — and each step may itself be any of
+# the single-step path forms (`mentions/name`, `^mentions/events`,
+# `subClassOf+/label`).  The `__seq` prefix is reserved; the
+# intermediate columns are dropped before projection.
 #
 # No triple store, no dedicated engine: parse → bgp_query → Catalyst.
 # The reference emits the KG (internal/jsonld/converter.go:52-94) but
@@ -523,6 +537,55 @@ _SPARQL_TOKEN = re.compile(
 )
 
 _FILTER_OPS = {"=", "!=", "<", ">", "<=", ">="}
+
+# scalar functions accepted in BIND / SELECT expressions — each maps
+# onto a single built-in Catalyst function (no UDFs anywhere)
+_SCALAR_FNS = {"CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "COALESCE"}
+
+
+def _compile_scalar(ast):
+    """Compile a scalar-expression AST from parse_sparql's
+    scalar_expr() to a Catalyst Column.  Arithmetic is double-typed
+    (operands cast, same contract as sparql_aggregate's SUM/AVG over
+    the string-typed triple table); string functions cast their
+    arguments to string.  Pure built-ins — the expression stays inside
+    whole-stage codegen."""
+    kind = ast[0]
+    if kind == "var":
+        return F.col(ast[1])
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "num":
+        return F.lit(ast[1])
+    if kind == "bin":
+        _, op, left, right = ast
+        lc = _compile_scalar(left).cast("double")
+        rc = _compile_scalar(right).cast("double")
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+    _, fn, args = ast
+    cols = [_compile_scalar(a) for a in args]
+    if fn == "CONCAT":
+        return F.concat(*[c.cast("string") for c in cols])
+    if fn == "STR":
+        _need_args(fn, cols, 1)
+        return cols[0].cast("string")
+    if fn == "STRLEN":
+        _need_args(fn, cols, 1)
+        return F.length(cols[0].cast("string"))
+    if fn == "UCASE":
+        _need_args(fn, cols, 1)
+        return F.upper(cols[0].cast("string"))
+    if fn == "LCASE":
+        _need_args(fn, cols, 1)
+        return F.lower(cols[0].cast("string"))
+    # COALESCE — SPARQL's unbound-fallback; argument types are the
+    # caller's contract (mixed types coerce per Spark rules)
+    return F.coalesce(*cols)
+
+
+def _need_args(fn: str, cols: list, n: int) -> None:
+    if len(cols) != n:
+        raise ValueError(f"{fn} takes exactly {n} argument(s), got {len(cols)}")
 
 
 def _sparql_unquote(tok: str) -> str:
@@ -550,16 +613,23 @@ def _sparql_unquote(tok: str) -> str:
 def parse_sparql(text: str) -> dict:
     """Parse the SPARQL subset to a plain dict:
     {select, distinct, patterns, optional, filters, order, limit,
-    offset, unions, minus, values}.  ``filters`` entries are tagged:
-    ("cmp", lhs, op, rhs) | ("regex", var, pat, flags) |
-    ("bound", var, positive).  ``unions`` is a list of blocks, each a
+    offset, unions, minus, values, binds}.  ``select`` items are plain
+    var names or ("expr", name, ast) for (expr AS ?v).  ``filters``
+    entries are boolean ASTs: leaves tagged ("cmp", lhs, op, rhs) |
+    ("regex", var, pat, flags) | ("bound", var, positive), interior
+    nodes ("and"|"or", l, r) and ("not", e) from &&/||/!(...).
+    ``unions`` is a list of blocks, each a
     list of branch pattern-lists; ``minus`` a list of pattern-lists;
-    ``values`` a list of (vars, rows) with None for UNDEF.  Raises
+    ``values`` a list of (vars, rows) with None for UNDEF; ``binds`` a
+    list of (var, scalar-ast) from BIND(expr AS ?v).  Sequence
+    property paths ``p/q`` are rewritten here into pattern chains
+    through reserved ?__seqN intermediates.  Raises
     ValueError with position context on anything outside the subset —
     a silent mis-parse against a 10^12-row table is a far worse
     failure than a loud one."""
     toks = _SPARQL_TOKEN.findall(re.sub(r"#[^\n]*", " ", text))
     pos = 0
+    seq_n = 0  # fresh-variable counter for sequence-path rewriting
 
     def peek():
         return toks[pos] if pos < len(toks) else None
@@ -577,35 +647,133 @@ def parse_sparql(text: str) -> dict:
     def is_term(t):
         return t is not None and t not in "{}()." and t.upper() not in (
             "OPTIONAL", "FILTER", "WHERE", "LIMIT", "ORDER", "BY",
-            "UNION", "MINUS", "VALUES", "UNDEF",
+            "UNION", "MINUS", "VALUES", "UNDEF", "BIND",
         )
 
     def triple_block():
+        nonlocal seq_n
         pats = []
         while is_term(peek()):
-            s, p, o = (_sparql_unquote(take()) for _ in range(3))
-            pats.append((s, p, o))
+            s_raw, p_raw, o_raw = take(), take(), take()
+            s, o = _sparql_unquote(s_raw), _sparql_unquote(o_raw)
+            for t in (s, o):
+                if t.startswith("?__seq"):
+                    raise ValueError(
+                        f"variable name {t!r} uses the reserved __seq prefix"
+                    )
+            if (
+                "/" in p_raw
+                and not p_raw.startswith("<")
+                and not p_raw.startswith("?")
+                and not p_raw.startswith('"')
+            ):
+                # sequence property path p/q[/r...] → a chain of
+                # patterns through fresh intermediate variables: the
+                # exact join shape bgp_query plans anyway.  Bare-name
+                # steps only (IRI-bracketed steps tokenize apart).
+                steps = p_raw.split("/")
+                if any(not st for st in steps):
+                    raise ValueError(
+                        f"empty step in sequence property path {p_raw!r}"
+                    )
+                prev = s
+                for i, st in enumerate(steps):
+                    if i == len(steps) - 1:
+                        nxt = o
+                    else:
+                        nxt = f"?__seq{seq_n}"
+                        seq_n += 1
+                    pats.append((prev, _sparql_unquote(st), nxt))
+                    prev = nxt
+            else:
+                pats.append((s, _sparql_unquote(p_raw), o))
             if peek() == ".":
                 take()
         return pats
+
+    def scalar_expr():
+        """Scalar-expression parser (BIND bodies and SELECT
+        expressions): ?var, "literal", numbers, + - * / (double
+        arithmetic), CONCAT/STR/STRLEN/UCASE/LCASE/COALESCE, parens.
+        Returns a plain AST ("var"|"lit"|"num"|"bin"|"fn", ...) that
+        _compile_scalar turns into a Catalyst Column — zero UDFs."""
+        def primary():
+            t = peek()
+            if t is None:
+                raise ValueError("unexpected end of scalar expression")
+            if t == "(":
+                take()
+                e = additive()
+                take(")")
+                return e
+            if t.startswith("?"):
+                return ("var", take()[1:])
+            if t.upper() in _SCALAR_FNS:
+                fn = take().upper()
+                take("(")
+                fn_args = []
+                if peek() != ")":
+                    fn_args.append(additive())
+                    while peek() == ",":
+                        take()
+                        fn_args.append(additive())
+                take(")")
+                return ("fn", fn, fn_args)
+            tok = take()
+            if tok.startswith('"'):
+                return ("lit", _sparql_unquote(tok))
+            try:
+                return ("num", float(tok))
+            except ValueError:
+                raise ValueError(
+                    f"unsupported term {tok!r} in scalar expression"
+                ) from None
+
+        def mult():
+            e = primary()
+            while peek() in ("*", "/"):
+                e = ("bin", take(), e, primary())
+            return e
+
+        def additive():
+            e = mult()
+            while peek() in ("+", "-"):
+                e = ("bin", take(), e, mult())
+            return e
+
+        return additive()
 
     take("SELECT")
     distinct = peek() is not None and peek().upper() == "DISTINCT"
     if distinct:
         take()
-    select: list[str] | None = []
+    select: list | None = []
     if peek() == "*":
         take()
         select = None
     else:
-        while peek() is not None and peek().startswith("?"):
-            select.append(take()[1:])
+        while peek() is not None and (
+            peek().startswith("?") or peek() == "("
+        ):
+            if peek() == "(":
+                # (expr AS ?v) — computed projection, same scalar
+                # subset as BIND
+                take()
+                ast = scalar_expr()
+                take("AS")
+                v = take()
+                if not v.startswith("?"):
+                    raise ValueError(f"AS needs a ?var, got {v!r}")
+                take(")")
+                select.append(("expr", v[1:], ast))
+            else:
+                select.append(take()[1:])
         if not select:
-            raise ValueError("SELECT needs ?vars or *")
+            raise ValueError("SELECT needs ?vars, (expr AS ?v), or *")
     take("WHERE")
     take("{")
     patterns, optional, filters = [], [], []
-    unions, minus, values, exists = [], [], [], []
+    unions, minus, values, exists, binds = [], [], [], [], []
 
     def braced_block():
         take("{")
@@ -655,8 +823,7 @@ def parse_sparql(text: str) -> dict:
             take("}")
         return vars_, rows
 
-    def filter_expr():
-        take("(")
+    def filter_atom():
         head = peek()
         if head is not None and head.upper() in ("REGEX", "BOUND", "!BOUND"):
             fn = take().upper()
@@ -673,9 +840,7 @@ def parse_sparql(text: str) -> dict:
                     take()
                     flags = _sparql_unquote(take())
                 take(")")
-                take(")")
                 return ("regex", var[1:], pat, flags)
-            take(")")
             take(")")
             return ("bound", var[1:], fn == "BOUND")
         lhs = _sparql_unquote(take())
@@ -683,8 +848,50 @@ def parse_sparql(text: str) -> dict:
         if op not in _FILTER_OPS:
             raise ValueError(f"unsupported FILTER operator {op!r}")
         rhs = _sparql_unquote(take())
-        take(")")
         return ("cmp", lhs, op, rhs)
+
+    def filter_unary():
+        t = peek()
+        if t == "!":
+            # negation of a parenthesized group: !( expr ).  A bare
+            # !bound(?v) tokenizes as one "!BOUND" token and is an atom.
+            take()
+            take("(")
+            e = filter_or()
+            take(")")
+            return ("not", e)
+        if t == "(":
+            take()
+            e = filter_or()
+            take(")")
+            return e
+        return filter_atom()
+
+    def filter_and():
+        e = filter_unary()
+        while peek() == "&&":
+            take()
+            e = ("and", e, filter_unary())
+        return e
+
+    def filter_or():
+        e = filter_and()
+        while peek() == "||":
+            take()
+            e = ("or", e, filter_and())
+        return e
+
+    def filter_expr():
+        # FILTER ( bool-expr ): &&, ||, !(...), parens over the atoms
+        # (?x op term) | regex(?x, "pat"[, flags]) | [!]bound(?x) —
+        # compiled by _apply_filters into one Catalyst predicate per
+        # FILTER.  Spark's 3-valued logic matches SPARQL's
+        # error-propagation through && / || / ! exactly (NULL-valued
+        # conditions drop the row).
+        take("(")
+        e = filter_or()
+        take(")")
+        return e
 
     while peek() != "}":
         t = peek()
@@ -727,6 +934,19 @@ def parse_sparql(text: str) -> dict:
         elif t.upper() == "VALUES":
             take()
             values.append(values_block())
+        elif t.upper() == "BIND":
+            # BIND (expr AS ?v) — computed binding over the solved
+            # group (applied after the group joins, before FILTERs,
+            # so FILTER may reference a BIND var)
+            take()
+            take("(")
+            ast = scalar_expr()
+            take("AS")
+            v = take()
+            if not v.startswith("?"):
+                raise ValueError(f"BIND ... AS needs a ?var, got {v!r}")
+            take(")")
+            binds.append((v[1:], ast))
         else:
             got = triple_block()
             if not got:
@@ -762,7 +982,7 @@ def parse_sparql(text: str) -> dict:
         "select": select, "distinct": distinct, "patterns": patterns,
         "optional": optional, "filters": filters, "order": order,
         "limit": limit, "offset": offset, "unions": unions, "minus": minus,
-        "values": values, "exists": exists,
+        "values": values, "exists": exists, "binds": binds,
     }
 
 
@@ -873,10 +1093,13 @@ def _expand_property_paths(
         )
     for alt in sorted(alt_preds):
         parts = alt.split("|")
-        if any(not p or p.endswith(("+", "*")) for p in parts):
+        if any(
+            not p or p.endswith(("+", "*", "?")) or p.startswith("^")
+            for p in parts
+        ):
             raise ValueError(
                 f"unsupported property path {alt!r} (alternation does "
-                "not nest with +/*)"
+                "not nest with +/*/?/^)"
             )
         src = src.unionByName(
             orig.filter(F.col("pred").isin(parts)).select(
@@ -886,31 +1109,48 @@ def _expand_property_paths(
     return src
 
 
+def _compile_filter(f):
+    """One FILTER AST node → one Catalyst boolean Column.  Leaves are
+    the tagged atoms parse_sparql emits; interior nodes are
+    ("and"|"or", l, r) and ("not", e) from the &&/||/!() grammar.
+    Spark's 3-valued logic reproduces SPARQL's error propagation:
+    a NULL-valued (type-error / unbound) condition drops the row,
+    true || error is true, false && error is false."""
+    tag = f[0]
+    if tag == "and":
+        return _compile_filter(f[1]) & _compile_filter(f[2])
+    if tag == "or":
+        return _compile_filter(f[1]) | _compile_filter(f[2])
+    if tag == "not":
+        return ~_compile_filter(f[1])
+    if tag == "cmp":
+        _, lhs, op, rhs = f
+        lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
+        rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+        }[op]
+    if tag == "regex":
+        _, var, pat, flags = f
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return F.col(var).rlike(pat)
+    # ("bound", var, positive)
+    _, var, positive = f
+    c = F.col(var)
+    return c.isNotNull() if positive else c.isNull()
+
+
 def _apply_filters(out: DataFrame, filters: list) -> DataFrame:
     """FILTER compilation shared by the SELECT and aggregate paths.
     Comparisons are string-typed (matching the triple table);
     regex(?v, pat[, "i"]) compiles to Catalyst rlike (case folded into
     the pattern for the "i" flag); bound/!bound become null tests —
-    the OPTIONAL-negation idiom."""
+    the OPTIONAL-negation idiom; &&, ||, !() compile to Column
+    &, |, ~ (_compile_filter)."""
     for f in filters:
-        if f[0] == "cmp":
-            _, lhs, op, rhs = f
-            lc = F.col(lhs[1:]) if lhs.startswith("?") else F.lit(lhs)
-            rc = F.col(rhs[1:]) if rhs.startswith("?") else F.lit(rhs)
-            cond = {
-                "=": lc == rc, "!=": lc != rc, "<": lc < rc,
-                ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
-            }[op]
-        elif f[0] == "regex":
-            _, var, pat, flags = f
-            if "i" in flags:
-                pat = "(?i)" + pat
-            cond = F.col(var).rlike(pat)
-        else:  # ("bound", var, positive)
-            _, var, positive = f
-            c = F.col(var)
-            cond = c.isNotNull() if positive else c.isNull()
-        out = out.filter(cond)
+        out = out.filter(_compile_filter(f))
     return out
 
 
@@ -919,6 +1159,47 @@ def _pattern_vars(patterns) -> set[str]:
         t[1:] for pat in patterns for t in pat
         if isinstance(t, str) and t.startswith("?")
     }
+
+
+def _compat_join(
+    sol: DataFrame,
+    other: DataFrame,
+    shared: list[str],
+    sol_nullable: set[str],
+    other_nullable: set[str],
+    broadcast_other: bool = False,
+) -> DataFrame:
+    """SPARQL-compatibility join: two solutions are compatible when
+    every shared variable is equal OR unbound on either side, and the
+    merged binding is the bound one.  Compiled as one join whose
+    condition mixes plain equalities (definitely-bound vars) with
+    eq-or-null clauses (nullable vars) — Catalyst still extracts the
+    equality conjuncts as hash-join keys, so as long as ONE shared var
+    is definitely bound this stays a hash join with a residual
+    condition; the all-keys-nullable case degenerates to a (broadcast)
+    nested loop, the honest price of unbound-matches-anything.
+    Merged bindings come back via coalesce."""
+    ren = other
+    for v in shared:
+        ren = ren.withColumnRenamed(v, f"__c_{v}")
+    if broadcast_other:
+        ren = F.broadcast(ren)
+    cond = None
+    for v in shared:
+        c = F.col(v) == F.col(f"__c_{v}")
+        if v in sol_nullable:
+            c = c | F.col(v).isNull()
+        if v in other_nullable:
+            c = c | F.col(f"__c_{v}").isNull()
+        cond = c if cond is None else cond & c
+    j = sol.join(ren, on=cond)
+    out_cols = [
+        F.coalesce(F.col(c), F.col(f"__c_{c}")).alias(c)
+        if c in shared and c in sol_nullable else F.col(c)
+        for c in sol.columns
+    ]
+    out_cols += [F.col(c) for c in other.columns if c not in shared]
+    return j.select(*out_cols)
 
 
 def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
@@ -959,14 +1240,25 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         all_pats.extend(e)
     src = _expand_property_paths(triples, all_pats, [])
 
+    # ``nullable`` tracks which solution columns may hold a NULL
+    # (OPTIONAL-bound, UNION-padded, or VALUES-UNDEF) — SPARQL says an
+    # unbound variable is compatible with ANYTHING, so a nullable
+    # column must never silently become an equi-join key (an equi-join
+    # on NULL drops the row).  Joins over nullable shared vars go
+    # through _compat_join; MINUS/EXISTS raise loudly (their
+    # unbound-domain semantics need dom(μ) tracking, out of subset).
     sol: DataFrame | None = None
+    nullable: set[str] = set()
     if q["patterns"]:
         sol = bgp_query(src, q["patterns"], optional=q["optional"], **bgp_kwargs)
+        nullable = _pattern_vars(q["optional"]) - _pattern_vars(q["patterns"])
     elif q["optional"]:
         raise ValueError("OPTIONAL requires at least one required pattern")
 
     for branches in q["unions"]:
-        block_vars = set().union(*(_pattern_vars(b) for b in branches))
+        branch_vars = [_pattern_vars(b) for b in branches]
+        block_vars = set().union(*branch_vars)
+        bound_in_all = set.intersection(*branch_vars)
         if sol is None:
             padded = []
             for b in branches:
@@ -981,6 +1273,7 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             sol = padded[0]
             for p in padded[1:]:
                 sol = sol.unionByName(p)
+            nullable = block_vars - bound_in_all
             continue
         join_vars = set(sol.columns) & block_vars
         if not join_vars:
@@ -988,11 +1281,12 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
                 "UNION block shares no variable with the rest of the "
                 "group (cross product)"
             )
-        if all(join_vars <= _pattern_vars(b) for b in branches):
-            # Fast path: every branch binds every join variable, so no
-            # join key can be a NULL pad — pad-then-union-then-join is
-            # exact AND joins the solution subtree ONCE instead of once
-            # per branch.
+        if join_vars <= bound_in_all and not (join_vars & nullable):
+            # Fast path: every branch binds every join variable AND no
+            # join variable is solution-side nullable, so no join key
+            # can be a NULL on either side — pad-then-union-then-join
+            # is exact AND joins the solution subtree ONCE instead of
+            # once per branch.
             padded = []
             for b in branches:
                 bsol = bgp_query(src, b, **bgp_kwargs)
@@ -1007,14 +1301,18 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             for p in padded[1:]:
                 block = block.unionByName(p)
             sol = sol.join(block, on=sorted(join_vars))
+            nullable = (nullable | (block_vars - bound_in_all)) - bound_in_all
             continue
         # General path — Join(A ∪ B, C) = Join(A, C) ∪ Join(B, C):
-        # per-branch equi-joins on the branch's own bound variables
-        # (a var a branch does not bind is not a join key there —
-        # SPARQL compatibility), outputs padded to the combined set.
+        # per-branch joins on the branch's own bound variables (a var
+        # a branch does not bind is not a join key there — SPARQL
+        # compatibility), outputs padded to the combined set.  A
+        # shared var that is solution-side nullable joins
+        # compatibility-style (_compat_join: unbound matches anything,
+        # merged binding via coalesce) instead of dropping NULL rows.
         out_vars = sorted(set(sol.columns) | block_vars)
         parts = []
-        for b in branches:
+        for b, bvars in zip(branches, branch_vars):
             bsol = bgp_query(src, b, **bgp_kwargs)
             shared = sorted(set(sol.columns) & set(bsol.columns))
             if not shared:
@@ -1022,7 +1320,10 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
                     f"UNION branch {b} shares no variable with the rest "
                     "of the group (cross product)"
                 )
-            j = sol.join(bsol, on=shared)
+            if set(shared) & nullable:
+                j = _compat_join(sol, bsol, shared, nullable, set())
+            else:
+                j = sol.join(bsol, on=shared)
             parts.append(
                 j.select(*[
                     F.col(v) if v in j.columns
@@ -1033,6 +1334,7 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         sol = parts[0]
         for p in parts[1:]:
             sol = sol.unionByName(p)
+        nullable = (nullable | (block_vars - bound_in_all)) - bound_in_all
 
     for vars_, rows in q["values"]:
         spark = triples.sparkSession
@@ -1044,32 +1346,29 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             continue
         shared = [v for v in vars_ if v in sol.columns]
         new = [v for v in vars_ if v not in sol.columns]
-        undef_shared = any(
-            row[i] is None
-            for row in rows
-            for i, v in enumerate(vars_)
-            if v in shared
-        )
+        undef_vars = {
+            v for i, v in enumerate(vars_) if any(r[i] is None for r in rows)
+        }
         if not shared:
             sol = sol.crossJoin(F.broadcast(vdf))
-        elif not undef_shared:
+        elif not (undef_vars & set(shared)) and not (set(shared) & nullable):
             sol = sol.join(F.broadcast(vdf), on=shared)
         else:
-            # UNDEF in a shared var: SPARQL compatibility — the UNDEF
-            # binding matches anything.  The values table is query
-            # text (tiny), so the theta-join broadcasts.
-            ren = vdf.select(*[F.col(v).alias(f"__v_{v}") for v in vars_])
-            cond = None
-            for v in shared:
-                c = F.col(f"__v_{v}").isNull() | (
-                    F.col(f"__v_{v}") == F.col(v)
-                )
-                cond = c if cond is None else cond & c
-            sol = sol.join(F.broadcast(ren), on=cond)
-            sol = sol.select(
-                *[c for c in sol.columns if not c.startswith("__v_")],
-                *[F.col(f"__v_{v}").alias(v) for v in new],
+            # UNDEF in a shared var, or a solution-side nullable
+            # shared var: SPARQL compatibility — an unbound binding
+            # (either side) matches anything, and the merged binding
+            # is the bound one.  The values table is query text
+            # (tiny), so the theta-join broadcasts.
+            sol = _compat_join(
+                sol, vdf, shared, nullable, undef_vars, broadcast_other=True
             )
+        # a shared var the VALUES table always binds is now definitely
+        # bound (compat merge coalesces the solution NULL away); new
+        # vars with an UNDEF row join the nullable set
+        for v in shared:
+            if v not in undef_vars:
+                nullable.discard(v)
+        nullable |= undef_vars & set(new)
 
     if sol is None:
         raise ValueError("WHERE group binds nothing")
@@ -1077,6 +1376,13 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     for mpats in q["minus"]:
         msol = bgp_query(src, mpats, **bgp_kwargs)
         shared = sorted(set(sol.columns) & set(msol.columns))
+        if set(shared) & nullable:
+            raise ValueError(
+                f"MINUS shares nullable variable(s) "
+                f"{sorted(set(shared) & nullable)} with the group — "
+                "unbound-domain MINUS semantics are outside the subset "
+                "(bind the variable in every branch, or restructure)"
+            )
         if shared:  # disjoint domains: MINUS removes nothing (per spec)
             sol = sol.join(
                 msol.select(*shared).dropDuplicates(), on=shared,
@@ -1086,6 +1392,14 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     for positive, epats in q["exists"]:
         esol = bgp_query(src, epats, **bgp_kwargs)
         shared = sorted(set(sol.columns) & set(esol.columns))
+        if set(shared) & nullable:
+            raise ValueError(
+                f"FILTER [NOT] EXISTS shares nullable variable(s) "
+                f"{sorted(set(shared) & nullable)} with the group — "
+                "unbound-substitution EXISTS semantics are outside the "
+                "subset (bind the variable in every branch, or "
+                "restructure)"
+            )
         if shared:
             # correlated: substitution over the shared variables is an
             # exact semi/anti hash join on NULL-free solutions
@@ -1107,6 +1421,11 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
                 .drop("_has")
             )
 
+    for name, ast in q.get("binds", ()):
+        if name in sol.columns:
+            raise ValueError(f"BIND target ?{name} is already bound")
+        sol = sol.withColumn(name, _compile_scalar(ast))
+
     return _apply_filters(sol, q["filters"])
 
 
@@ -1120,7 +1439,17 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     q = parse_sparql(text)
     out = _solve_where(triples, q, **bgp_kwargs)
     if q["select"] is not None:
-        out = out.select(*q["select"])
+        out = out.select(*[
+            _compile_scalar(item[2]).alias(item[1])
+            if isinstance(item, tuple) else F.col(item)
+            for item in q["select"]
+        ])
+    else:
+        # SELECT *: the fresh ?__seqN intermediates from sequence
+        # property-path rewriting are plumbing, not user bindings
+        seq_cols = [c for c in out.columns if c.startswith("__seq")]
+        if seq_cols:
+            out = out.drop(*seq_cols)
     if q["distinct"]:
         out = out.dropDuplicates()
     if q["order"]:

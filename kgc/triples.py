@@ -443,9 +443,15 @@ def render_jsonld_nested(
     ``include_ids=True`` stamps every root node with its subject as
     "@id" (the reference CLI's shape omits it, so the default stays
     byte-comparable with the committed fixtures).  With ids the render
-    is losslessly invertible for ANY triple table: ``from_jsonld``
-    recovers the exact (subj, pred, obj, obj_type) set — render →
-    parse round trips the KG bit-for-bit (pytest-pinned).
+    is losslessly invertible for every engine-produced triple table:
+    ``from_jsonld`` recovers the exact (subj, pred, obj, obj_type)
+    set — render → parse round trips the KG bit-for-bit
+    (pytest-pinned).  Scope of the claim: path-blank LIST subjects
+    (``s/p/i``) must have contiguous indices from 0 — the shape this
+    engine emits.  A hand-built table with gaps (s/p/0 and s/p/2,
+    no s/p/1) re-enumerates on parse (s/p/2 comes back as s/p/1)
+    because the render collapses list order and nested path blanks
+    carry no "@id".
 
     Grouped per document (applyInPandas): assembly is pure local work
     after one shuffle on doc_id — the same exchange A1 already pays.
@@ -579,13 +585,25 @@ def kg_diff(
     return added.unionByName(removed)
 
 
-def kg_diff_stats(diff: DataFrame) -> DataFrame:
+def kg_diff_stats(
+    diff: DataFrame, keys: tuple[str, ...] = ("subj", "pred", "obj")
+) -> DataFrame:
     """Per-(change, pred) drift counts over a kg_diff output — the
     one-glance table an on-call reads: a spike of removed 'name'
-    triples is a broken upstream stage, not corpus drift."""
-    return diff.groupBy("change", "pred").agg(
+    triples is a broken upstream stage, not corpus drift.
+
+    ``keys`` must be the same tuple the diff was produced with
+    (kg_diff's default shown): the breakdown column is the second key
+    and the distinct-count column the first, so a diff over custom
+    keys aggregates on ITS columns instead of failing on absent
+    subj/pred ones."""
+    if len(keys) < 2:
+        raise ValueError("kg_diff_stats needs >= 2 diff keys")
+    first, second = keys[0], keys[1]
+    distinct_col = "n_subjects" if first == "subj" else f"n_{first}s"
+    return diff.groupBy("change", second).agg(
         F.count(F.lit(1)).alias("n_triples"),
-        F.count_distinct(F.col("subj")).alias("n_subjects"),
+        F.count_distinct(F.col(first)).alias(distinct_col),
     )
 
 
@@ -666,7 +684,9 @@ def from_jsonld(
     Parity with the trusted driver-side loader is pytest-pinned on the
     reference's own committed fixtures (from_jsonld == kgc.golden.
     load_golden_triples, exact), and render(include_ids=True) →
-    from_jsonld round trips any triple table bit-for-bit.
+    from_jsonld round trips engine-produced triple tables bit-for-bit
+    (path-blank list subjects with contiguous indices — see the
+    render_jsonld_nested docstring for the exact scope).
 
     Scale shape: mapInPandas — documents parse independently, no
     shuffle, Arrow-batched; a malformed JSON document yields no rows

@@ -914,3 +914,271 @@ def test_sparql_construct_optional_null_drops(spark):
         "WHERE { ?d mentions ?e . OPTIONAL { ?e nosuchpred ?x } }",
     ).collect()
     assert out == []
+
+
+# ------------------------- round-5 SPARQL surface: /, &&/||, BIND ---
+
+
+def test_sparql_sequence_path(spark):
+    """p/q sequence paths rewrite to fresh-variable pattern chains —
+    the 2-hop doc→entity→name query every KG consumer writes first."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?d ?n WHERE { ?d mentions/name ?n } ORDER BY ?d ?n",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("doc:1", "Ada"), ("doc:1", "Paris"), ("doc:2", "Paris"),
+    ]
+    # steps compose with the single-step path forms: a closure step
+    # (subClassOf+) inside a 3-step sequence
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?d ?a WHERE { ?d mentions/@type/subClassOf+ ?a } "
+        "ORDER BY ?d ?a",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("doc:1", "Agent"), ("doc:1", "Thing"),
+    ]
+    # inverse first step: name value back to the docs that mention it
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?d WHERE { ?n ^name/^mentions ?d . '
+        'FILTER (?n = "Paris") } ORDER BY ?d',
+    ).collect()
+    assert [r.d for r in rows] == ["doc:1", "doc:2"]
+
+
+def test_sparql_sequence_path_select_star_hides_intermediates(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    out = sparql_query(kg, "SELECT * WHERE { ?d mentions/name ?n }")
+    assert sorted(out.columns) == ["d", "n"]  # no ?__seqN leaks
+    assert out.count() == 3
+
+
+def test_sparql_sequence_path_reserved_prefix_rejected(spark):
+    import pytest as _pt
+
+    from kgc.graph import parse_sparql
+
+    with _pt.raises(ValueError, match="__seq"):
+        parse_sparql("SELECT ?n WHERE { ?__seq0 name ?n }")
+    with _pt.raises(ValueError, match="empty step"):
+        parse_sparql("SELECT ?n WHERE { ?d mentions//name ?n }")
+
+
+def test_sparql_filter_connectives(spark):
+    """&&, ||, !(...) and nested parens compile to one Catalyst
+    predicate per FILTER (VERDICT r4 next-round task #2)."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e ?n WHERE { ?e name ?n . ?e "@type" ?t '
+        'FILTER (?t = Person || ?n = "Paris") } ORDER BY ?e',
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", "Ada"), ("ent:2", "Paris")]
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e name ?n . ?e "@type" ?t '
+        'FILTER (?t = Person && ?n != "Nobody") }',
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1"]
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e name ?n . ?e "@type" ?t '
+        'FILTER (!(?t = Person || ?n = "Paris")) }',
+    ).collect()
+    assert rows == []
+    # grouping + precedence: && binds tighter than ||
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e name ?n . ?e "@type" ?t '
+        'FILTER ((?t = Person && ?n = "Ada") || regex(?n, "^Par")) } '
+        "ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1", "ent:2"]
+    # mixed with bound() over an OPTIONAL binding
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e WHERE { ?e name ?n . "
+        "OPTIONAL { ?e nosuchpred ?x } "
+        'FILTER (!bound(?x) && ?n = "Ada") }',
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1"]
+
+
+def test_sparql_bind_and_select_expr(spark):
+    """BIND(expr AS ?v) + (expr AS ?v) projections — the scalar
+    subset compiles to plain Catalyst columns (VERDICT task #6)."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        "SELECT ?e ?label WHERE { ?e name ?n . "
+        'BIND (CONCAT(UCASE(?n), "!") AS ?label) } ORDER BY ?e',
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", "ADA!"), ("ent:2", "PARIS!")]
+    # FILTER may reference a BIND var (binds apply before filters)
+    rows = sparql_query(
+        kg,
+        "SELECT ?e WHERE { ?e name ?n . BIND (STRLEN(?n) AS ?len) "
+        "FILTER (?len > 3) }",
+    ).collect()
+    assert [r.e for r in rows] == ["ent:2"]
+    # SELECT expressions incl. double arithmetic
+    rows = sparql_query(
+        kg,
+        "SELECT ?n (STRLEN(?n) * 2 + 1 AS ?m) (LCASE(?n) AS ?low) "
+        "WHERE { ?e name ?n } ORDER BY ?n",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Ada", 7.0, "ada"), ("Paris", 11.0, "paris"),
+    ]
+    # COALESCE over an OPTIONAL binding — the unbound-fallback idiom
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?e (COALESCE(?x, \"none\") AS ?v) WHERE "
+        "{ ?e name ?n . OPTIONAL { ?e nosuchpred ?x } } ORDER BY ?e",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("ent:1", "none"), ("ent:2", "none")]
+
+
+def test_sparql_bind_rejects_rebinding_and_junk():
+    import pytest as _pt
+
+    from kgc.graph import parse_sparql, sparql_query
+
+    with _pt.raises(ValueError, match="scalar"):
+        parse_sparql("SELECT ?e WHERE { ?e name ?n . BIND (<< AS ?x) }")
+    with _pt.raises(ValueError, match="needs a \\?var"):
+        parse_sparql("SELECT ?e WHERE { ?e name ?n . BIND (?n AS name) }")
+
+
+def test_sparql_bind_already_bound_raises(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    with _pt.raises(ValueError, match="already bound"):
+        sparql_query(
+            kg, "SELECT ?n WHERE { ?e name ?n . BIND (UCASE(?n) AS ?n) }"
+        )
+
+
+def test_sparql_union_compat_join_on_nullable_var(spark):
+    """ADVICE r4 (medium): a solution column made nullable by OPTIONAL
+    must not silently become an equi-join key when a UNION block
+    shares it — SPARQL compatibility says unbound matches anything.
+    The nullable var joins compatibility-style and the merged binding
+    comes back via coalesce."""
+    from kgc.graph import sparql_query
+
+    rows = [
+        ("e1", "name", "A", "literal"),
+        ("e2", "name", "B", "literal"),
+        ("e1", "@type", "T1", "literal"),
+        ("x", "tag", "T1", "literal"),
+        ("y", "tag", "T2", "literal"),
+    ]
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string"
+    )
+    got = sparql_query(
+        kg,
+        "SELECT ?e ?n ?t ?x WHERE { ?e name ?n . "
+        'OPTIONAL { ?e "@type" ?t } '
+        "{ ?x tag ?t } UNION { ?x nosuchpred ?t } } ORDER BY ?e ?t",
+    ).collect()
+    # e1 (t=T1 bound) matches only tag T1; e2 (t unbound) is
+    # compatible with BOTH tag rows and takes each branch binding
+    assert sorted(tuple(r) for r in got) == [
+        ("e1", "A", "T1", "x"),
+        ("e2", "B", "T1", "x"),
+        ("e2", "B", "T2", "y"),
+    ]
+
+
+def test_sparql_values_compat_on_nullable_var(spark):
+    """VALUES sharing an OPTIONAL-nullable var: the unbound solution
+    row matches every VALUES row (compatibility) and takes the VALUES
+    binding."""
+    from kgc.graph import sparql_query
+
+    rows = [
+        ("e1", "name", "A", "literal"),
+        ("e2", "name", "B", "literal"),
+        ("e1", "@type", "T1", "literal"),
+    ]
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string"
+    )
+    got = sparql_query(
+        kg,
+        "SELECT ?e ?t WHERE { ?e name ?n . "
+        'OPTIONAL { ?e "@type" ?t } VALUES ?t { T1 T9 } } ORDER BY ?e ?t',
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("e1", "T1"), ("e2", "T1"), ("e2", "T9"),
+    ]
+
+
+def test_sparql_minus_exists_nullable_raise(spark):
+    """MINUS / EXISTS over a nullable shared var: unbound-domain
+    semantics are outside the subset — loud failure, not a silent
+    NULL-keyed anti-join."""
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    with _pt.raises(ValueError, match="MINUS shares nullable"):
+        sparql_query(
+            kg,
+            "SELECT ?e WHERE { ?e name ?n . OPTIONAL { ?e nosuchpred ?t } "
+            "MINUS { ?z tag ?t } }",
+        )
+    with _pt.raises(ValueError, match="EXISTS shares nullable"):
+        sparql_query(
+            kg,
+            "SELECT ?e WHERE { ?e name ?n . OPTIONAL { ?e nosuchpred ?t } "
+            "FILTER EXISTS { ?z tag ?t } }",
+        )
+
+
+def test_alternation_rejects_nested_path_forms(spark):
+    """ADVICE r4 (low): 'a?|b' and '^a|b' must fail loudly, not match
+    nothing."""
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    for bad in ("a?|name", "^a|name", "a+|name"):
+        with _pt.raises(ValueError, match="alternation does not nest"):
+            sparql_query(kg, f"SELECT ?s ?o WHERE {{ ?s {bad} ?o }}").collect()
+
+
+def test_kg_diff_stats_custom_keys(spark):
+    """ADVICE r4 (low): kg_diff_stats must follow kg_diff's keys."""
+    from kgc.triples import kg_diff, kg_diff_stats
+
+    old = spark.createDataFrame(
+        [("a", "p1"), ("b", "p2")], "ent string, rel string"
+    )
+    new = spark.createDataFrame(
+        [("a", "p1"), ("c", "p3")], "ent string, rel string"
+    )
+    d = kg_diff(old, new, keys=("ent", "rel"))
+    got = {
+        (r.change, r.rel): (r.n_triples, r.n_ents)
+        for r in kg_diff_stats(d, keys=("ent", "rel")).collect()
+    }
+    assert got == {("added", "p3"): (1, 1), ("removed", "p2"): (1, 1)}
