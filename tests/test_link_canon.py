@@ -517,3 +517,29 @@ def test_incremental_components_preserves_singletons(spark):
     got2 = {r["node"]: r["component"]
             for r in incremental_components(assign, new2, max_iter=8).collect()}
     assert got2[42] == 1 and got2[2] == 1
+
+
+def test_mention_udf_ships_broadcast_not_closure(spark):
+    """The alias dictionary must ride a real sc.broadcast — the UDF
+    closure carries only the Broadcast handle, never the alias list or
+    a prebuilt trie (r4 verdict: closure capture re-serializes the
+    dictionary per task batch at cluster scale)."""
+    from pyspark.broadcast import Broadcast
+
+    from kgc.mentions import detect_mentions, make_mention_udf
+
+    udf = make_mention_udf(["Ada Lovelace", "Paris"])
+    cells = [c.cell_contents for c in (udf.func.__closure__ or ())]
+    assert any(isinstance(v, Broadcast) for v in cells)
+    assert not any(isinstance(v, (list, dict)) for v in cells)
+
+    segs = spark.createDataFrame(
+        [("d1", 0, "Ada Lovelace went to Paris.")],
+        "doc_id string, seg_id int, seg_text string",
+    )
+    rows = detect_mentions(segs, ["Ada Lovelace", "Paris"]).orderBy(
+        "begin"
+    ).collect()
+    assert [(r["alias"], r["surface"]) for r in rows] == [
+        ("ada lovelace", "Ada Lovelace"), ("paris", "Paris"),
+    ]
