@@ -1343,12 +1343,57 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj")),
         F.col("change"),
     )
+    # r5 SPARQL surface, each pinned against a pure-SQL oracle:
+    # sequence property paths `p/q` (leg sparql_path: two 2-step
+    # sequences in one group — the parse-time rewrite to fresh-variable
+    # pattern chains), BIND + SELECT expressions + boolean FILTER
+    # connectives (leg sparql_bind: UCASE/STRLEN scalar bindings, an
+    # `=||=` disjunction compiled to one Catalyst predicate), and the
+    # NULL-compatibility join (leg sparql_nullcompat: a UNION pads ?t
+    # for its events branch, then VALUES ?t must treat that unbound ?t
+    # as matching anything and merge the binding — the r4-advice
+    # unbound-variable fix, driver-visible).
+    path = _leg(
+        sparql_query(
+            et,
+            "SELECT DISTINCT ?d ?n ?ln WHERE { "
+            "?d mentions/name ?n . ?d locations/name ?ln }",
+        ),
+        "sparql_path",
+        F.concat_ws("|", F.col("d"), F.col("n")),
+        F.col("ln"),
+    )
+    bind = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?e ?ut ?nl WHERE {
+                 ?e "@type" ?t . ?e name ?n .
+                 BIND (UCASE(?t) AS ?ut)
+                 BIND (STRLEN(?n) AS ?nl)
+                 FILTER (?t = "Person" || ?t = "Event") }""",
+        ),
+        "sparql_bind",
+        F.col("e"),
+        F.concat_ws("|", F.col("ut"), F.col("nl").cast("string")),
+    )
+    nullcompat = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?d ?e ?t WHERE {
+                 { ?d mentions ?e . ?e "@type" ?t } UNION { ?d events ?e }
+                 VALUES ?t { Person Event } }""",
+        ),
+        "sparql_nullcompat",
+        F.concat_ws("|", F.col("d"), F.col("e")),
+        F.col("t"),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
         .unionByName(agg).unionByName(con).unionByName(ops)
         .unionByName(rt).unionByName(desc).unionByName(ask)
-        .unionByName(diff)
+        .unionByName(diff).unionByName(path).unionByName(bind)
+        .unionByName(nullcompat)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4180,7 +4225,29 @@ SELECT 'kg_diff', subj || '|' || pred || '|' || obj, chg FROM (
       UNION
       SELECT DISTINCT m.subj, 'cites', m.obj FROM etrip m
       JOIN etrip t ON t.subj = m.obj AND t.pred = '@type' AND t.obj = 'Person'
-      WHERE m.pred = 'mentions')))"""
+      WHERE m.pred = 'mentions')))
+UNION ALL
+SELECT DISTINCT 'sparql_path', m.subj || '|' || mn.obj, ln.obj
+FROM etrip m
+JOIN etrip mn ON mn.subj = m.obj AND mn.pred = 'name'
+JOIN etrip l  ON l.subj = m.subj AND l.pred = 'locations'
+JOIN etrip ln ON ln.subj = l.obj AND ln.pred = 'name'
+WHERE m.pred = 'mentions'
+UNION ALL
+SELECT DISTINCT 'sparql_bind', t.subj,
+       upper(t.obj) || '|' || length(n.obj)::VARCHAR
+FROM etrip t
+JOIN etrip n ON n.subj = t.subj AND n.pred = 'name'
+WHERE t.pred = '@type' AND (t.obj = 'Person' OR t.obj = 'Event')
+UNION ALL
+SELECT DISTINCT 'sparql_nullcompat', d || '|' || e, t FROM (
+  SELECT m.subj AS d, m.obj AS e, ty.obj AS t
+  FROM etrip m JOIN etrip ty ON ty.subj = m.obj AND ty.pred = '@type'
+  WHERE m.pred = 'mentions' AND ty.obj IN ('Person', 'Event')
+  UNION ALL
+  SELECT ev.subj, ev.obj, v.t
+  FROM etrip ev, (VALUES ('Person'), ('Event')) v(t)
+  WHERE ev.pred = 'events')"""
     )
 
     # exact-substring duplication stats (width-5 grams over the
