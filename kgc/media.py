@@ -10,12 +10,14 @@ Decode modes:
   * mode='fake'   — deterministic md5-derived features (real schema,
     real batching, real partitioning; values are a stable fake)
   * mode='strict' — REAL stdlib decode for WAV (RIFF/PCM via ``wave``),
-    header-grade JPEG/GIF (real dimensions, no pixel inflate)
-    and PNG (chunk parse + zlib inflate + per-scanline defilter, same
-    from-scratch spirit as kgc/pdf.py).  Formats that genuinely need
-    third-party codecs (JPEG, MP3, MP4, …) set a per-item ``error``
-    instead of crashing the stage — ``media_quarantine`` splits them
-    off, mirroring the document pipeline's poison routing (C5).
+    PNG (chunk parse + zlib inflate + per-scanline defilter, same
+    from-scratch spirit as kgc/pdf.py), GIF (block walk + LZW frame
+    decode + palette-mapped pixels, frame count and animation
+    duration), and header-grade JPEG (real dimensions, no pixel
+    inflate).  Formats that genuinely need third-party codecs (JPEG
+    pixels, MP3, MP4, …) set a per-item ``error`` instead of crashing
+    the stage — ``media_quarantine`` splits them off, mirroring the
+    document pipeline's poison routing (C5).
 
 Everything around decode — schema, mapInPandas batch shape,
 partition-by-media-kind routing, span join — is identical in both
@@ -204,6 +206,22 @@ def decode_png_py(payload: bytes) -> dict:
         raise MediaDecodeError(f"PNG: bad IDAT: {e}") from e
     bpp = _PNG_CHANNELS[color_type]
     px = _png_defilter(raw, width, height, bpp)
+    return {
+        "features": _pixel_features(px, bpp),
+        "width": width,
+        "height": height,
+        "sample_rate": None,
+        "n_frames": None,
+        "duration": None,
+    }
+
+
+def _pixel_features(px, bpp: int) -> list[float]:
+    """Shared 8-dim image feature vector over a flat pixel buffer:
+    [mean_c0, mean_c1, mean_c2, mean_all, std_all, min, max,
+    mean |horizontal gradient|], all scaled to [0, 1].  Identical
+    numbers for PNG and GIF so downstream similarity ops see one
+    feature space per modality."""
     n = len(px)
     means = []
     for c in range(3):
@@ -220,14 +238,7 @@ def decode_png_py(payload: bytes) -> dict:
         (max(px) / 255.0) if n else 0.0,
         grad,
     ]
-    return {
-        "features": [round(f, 6) for f in feats],
-        "width": width,
-        "height": height,
-        "sample_rate": None,
-        "n_frames": None,
-        "duration": None,
-    }
+    return [round(f, 6) for f in feats]
 
 
 def decode_jpeg_header_py(payload: bytes) -> dict:
@@ -272,8 +283,9 @@ def decode_jpeg_header_py(payload: bytes) -> dict:
 
 def decode_gif_header_py(payload: bytes) -> dict:
     """Header-grade GIF decode: logical-screen-descriptor dimensions
-    (GIF87a/89a).  LZW frame decode is left to a codec; ``features``
-    stays None (same posture as JPEG)."""
+    (GIF87a/89a) only — kept as the cheap manifest-scan primitive
+    (dimension gates without touching frame data); ``decode_gif_py``
+    is the full pixel decoder."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("GIF: bad signature")
     if len(payload) < 10:
@@ -282,6 +294,164 @@ def decode_gif_header_py(payload: bytes) -> dict:
     return {
         "features": None, "width": int(w), "height": int(h),
         "sample_rate": None, "n_frames": None, "duration": None,
+    }
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW: codes packed LSB-first in a byte stream, clear
+    code 2^mcs resets the table, code width grows to a 12-bit cap."""
+    if not 2 <= min_code_size <= 11:
+        raise MediaDecodeError(f"GIF: bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    dic, code_size = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                dic, code_size = fresh()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= clear:
+                    raise MediaDecodeError("GIF: LZW starts on a nonliteral")
+                entry = dic[code]
+            elif code < len(dic):
+                entry = dic[code]
+            elif code == len(dic):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise MediaDecodeError("GIF: LZW code beyond table")
+            out += entry
+            if prev is not None:
+                dic.append(prev + entry[:1])
+                if len(dic) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out  # missing end code: tolerated (common in the wild)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_py(payload: bytes) -> dict:
+    """Full GIF decode (87a/89a): block walk → LZW-decoded first frame
+    → palette-mapped RGB pixels → the shared 8-dim image features.
+    Also counts image descriptors (``n_frames``) and sums GIF89a
+    graphic-control delays (``duration`` in seconds) across the whole
+    stream, so animated GIFs read like the short videos they are.
+    Interlaced frames are de-interlaced (the four GIF passes); a frame
+    with no color table falls back to treating indices as gray values
+    (malformed per spec, decoded anyway rather than quarantined).
+    A dimensions-only read should use decode_gif_header_py."""
+    head = decode_gif_header_py(payload)
+    if len(payload) < 13:
+        raise MediaDecodeError("GIF: truncated header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    n_frames = 0
+    total_delay = 0
+    first = None  # (lzw bytes, mcs, fw, fh, table, interlace)
+    try:
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and payload[pos] >= 4:
+                    (total_delay_inc,) = struct.unpack(
+                        "<H", payload[pos + 2 : pos + 4]
+                    )
+                    total_delay += total_delay_inc
+                while True:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+            elif b == 0x2C:  # image descriptor
+                _, _, fw, fh = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+                ipacked = payload[pos + 9]
+                pos += 10
+                table = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 7)
+                    table = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                mcs = payload[pos]
+                pos += 1
+                data = bytearray()
+                while True:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    data += payload[pos : pos + sz]
+                    pos += sz
+                n_frames += 1
+                if first is None:
+                    first = (bytes(data), mcs, fw, fh, table, bool(ipacked & 0x40))
+            else:
+                raise MediaDecodeError(f"GIF: unknown block 0x{b:02x}")
+    except (IndexError, struct.error) as e:
+        raise MediaDecodeError(f"GIF: truncated block stream: {e}") from e
+    feats = None
+    if first is not None:
+        data, mcs, fw, fh, table, interlace = first
+        idx = _gif_lzw_decode(data, mcs)
+        if len(idx) < fw * fh:
+            raise MediaDecodeError(
+                f"GIF: frame pixel shortfall ({len(idx)} < {fw * fh})"
+            )
+        idx = idx[: fw * fh]
+        if interlace and fh > 0:
+            rows = [idx[r * fw : (r + 1) * fw] for r in range(fh)]
+            order = [
+                r for start, step in _GIF_INTERLACE
+                for r in range(start, fh, step)
+            ]
+            deint = [b""] * fh
+            for src_i, dst_r in enumerate(order):
+                deint[dst_r] = rows[src_i]
+            idx = bytearray(b"".join(bytes(r) for r in deint))
+        px = bytearray(3 * len(idx))
+        if table is not None:
+            tn = len(table) // 3
+            for i, v in enumerate(idx):
+                if v >= tn:
+                    v = 0  # out-of-palette index: spec-silent, render bg
+                px[3 * i : 3 * i + 3] = table[3 * v : 3 * v + 3]
+        else:  # no palette anywhere: indices as gray (documented)
+            for i, v in enumerate(idx):
+                px[3 * i] = px[3 * i + 1] = px[3 * i + 2] = v
+        feats = _pixel_features(px, 3)
+    return {
+        "features": feats,
+        "width": head["width"],
+        "height": head["height"],
+        "sample_rate": None,
+        "n_frames": n_frames if n_frames else None,
+        "duration": round(total_delay / 100.0, 6) if total_delay else None,
     }
 
 
@@ -396,9 +566,9 @@ def decode_mp4_header_py(payload: bytes) -> dict:
 def decode_payload_py(payload: bytes) -> dict:
     """Magic-byte dispatch to the stdlib decoders.
 
-    WAV and PNG decode fully (params + pixels/samples + features);
-    JPEG/GIF (dimensions) and MP3/MP4 (sample rate, duration, video
-    dims) decode to header grade — real metadata, features None,
+    WAV, PNG, and GIF decode fully (params + pixels/samples +
+    features); JPEG (dimensions) and MP3/MP4 (sample rate, duration,
+    video dims) decode to header grade — real metadata, features None,
     sample/frame decode needs a codec.  Remaining third-party-codec
     formats are recognized and named in the error so quarantine rows
     say exactly which cluster-image dependency would handle them (the
@@ -412,7 +582,7 @@ def decode_payload_py(payload: bytes) -> dict:
     if p[:3] == b"\xff\xd8\xff":
         return decode_jpeg_header_py(p)
     if p[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_header_py(p)
+        return decode_gif_py(p)
     if p[:3] == b"ID3" or p[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
         return decode_mp3_header_py(p)
     if p[4:8] == b"ftyp":

@@ -563,3 +563,54 @@ def test_stream_incremental_neardup_restart_resume(spark, tmp_path):
     second = [(r["new_id"], r["corpus_id"]) for r in drain().collect()]
     assert sorted(second) == [(100, 0), (101, 1), (102, 2), (103, 3)]
     assert len(second) == len(set(second))  # no replay duplicates
+
+
+def test_gif_full_decode():
+    """Full GIF decode: LZW frame decode through the palette, shared
+    PNG-style features, frame count + GCE-delay duration, interlace."""
+    import struct
+
+    from kgc.media import MediaDecodeError, decode_gif_py, decode_payload_py
+
+    def gif(frames: list[bytes], w=2, h=2, gce_delay=None) -> bytes:
+        # 2-entry global palette: color0 black, color1 white
+        head = (b"GIF89a" + struct.pack("<HH", w, h) + b"\x80\x00\x00"
+                + b"\x00\x00\x00" + b"\xff\xff\xff")
+        body = b""
+        for f in frames:
+            if gce_delay is not None:
+                body += (b"\x21\xf9\x04\x00"
+                         + struct.pack("<H", gce_delay) + b"\x00\x00")
+            body += f
+        return head + body + b"\x3b"
+
+    def frame(data: bytes, w=2, h=2, ipacked=0) -> bytes:
+        return (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                + bytes([ipacked, 2, len(data)]) + data + b"\x00")
+
+    # pixels [1,0,0,1], mcs=2: codes (4,1,0,0,1,5) LSB-packed = 0c 10 05
+    d = decode_gif_py(gif([frame(b"\x0c\x10\x05")]))
+    assert (d["width"], d["height"], d["n_frames"]) == (2, 2, 1)
+    # idx [1,0,0,1] -> white/black/black/white: every mean 0.5, std 0.5,
+    # min 0, max 1, |h-grad| = 3 transitions of 255 over 9 deltas = 2/3
+    assert d["features"] == [0.5, 0.5, 0.5, 0.5, 0.5, 0.0, 1.0, 0.666667]
+    assert d["duration"] is None
+    assert decode_payload_py(gif([frame(b"\x0c\x10\x05")]))["features"] is not None
+
+    # two frames with 0.5 s GCE delays: n_frames 2, duration 1.0 s
+    d2 = decode_gif_py(gif([frame(b"\x0c\x10\x05")] * 2, gce_delay=50))
+    assert (d2["n_frames"], d2["duration"]) == (2, 1.0)
+
+    # interlace: 1x4 column [0,1,0,1] stored in pass order rows
+    # [0,2,1,3] = [0,0,1,1] (codes 4,0,0,1,1,5 = 04 12 05) must decode
+    # identically to the sequential [0,1,0,1] stream (4,0,1,0,1,5 =
+    # 44 10 05)
+    seq = decode_gif_py(gif([frame(b"\x44\x10\x05", w=1, h=4)], w=1, h=4))
+    il = decode_gif_py(
+        gif([frame(b"\x04\x12\x05", w=1, h=4, ipacked=0x40)], w=1, h=4)
+    )
+    assert il["features"] == seq["features"]
+
+    # truncated LZW stream: fewer pixels than the frame needs -> loud
+    with pytest.raises(MediaDecodeError, match="shortfall"):
+        decode_gif_py(gif([frame(b"\x0c")]))
