@@ -2062,19 +2062,44 @@ def q_suggest_props_domain(spark, sf_dir):
     return out.select("doc_id", "prop_id").dropDuplicates()
 
 
+def q_suggest_props_prejoin(spark, sf_dir):
+    """V3 at beyond-broadcast dictionary sizes: the token-prejoin
+    (kgc.vocab.suggest_properties_prejoin — shuffle equi-join on the
+    label's first token, then containment verify; no nested loop,
+    plan-asserted in pytest).  Same inputs as q_suggest_props_full, so
+    the oracle is the identical substring-containment SQL — the driver
+    row pins blocking recall on the real schema.org dictionary."""
+    from kgc.vocab import load_schemaorg, suggest_properties_prejoin
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.col("text").alias("seg_text"))
+    )
+    _, props = load_schemaorg(spark)
+    return suggest_properties_prejoin(d, props).select("doc_id", "label")
+
+
 def q_suggest_suite(spark, sf_dir):
-    """V3 family: builtin substring suggestion, full-dump suggestion,
-    and the domain-VALIDATED variant (label match ∩ main type's
-    superclass chain ∩ property domainIncludes)."""
+    """V3 family: builtin substring suggestion, full-dump suggestion
+    (BNLJ and token-prejoin twins — the broadcast-dictionary path and
+    the beyond-broadcast scale path must agree), and the
+    domain-VALIDATED variant (label match ∩ main type's superclass
+    chain ∩ property domainIncludes)."""
     legs = [
         _leg(q_suggest_props(spark, sf_dir), "suggest_props",
              F.col("doc_id"), F.col("label")),
         _leg(q_suggest_props_full(spark, sf_dir), "suggest_props_full",
              F.col("doc_id"), F.col("label")),
+        _leg(q_suggest_props_prejoin(spark, sf_dir), "suggest_props_prejoin",
+             F.col("doc_id"), F.col("label")),
         _leg(q_suggest_props_domain(spark, sf_dir), "suggest_props_domain",
              F.col("doc_id"), F.col("prop_id")),
     ]
-    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
 
 
 def q_textquality_suite(spark, sf_dir):
@@ -3850,6 +3875,10 @@ FROM hits)"""
     q["suggest_suite"] = "\nUNION ALL\n".join([
         _wrap("suggest_props", "doc_id::VARCHAR", "label", "suggest_props"),
         _wrap("suggest_props_full", "doc_id::VARCHAR", "label",
+              "suggest_props_full"),
+        # prejoin twin: same semantics, same oracle body — the driver
+        # row pins the token-blocking recall against plain containment
+        _wrap("suggest_props_prejoin", "doc_id::VARCHAR", "label",
               "suggest_props_full"),
         suggest_domain_sql,
     ])

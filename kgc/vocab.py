@@ -263,13 +263,62 @@ def suggest_properties(
     lowercased label occurs in the lowercased content — a substring
     theta-join, executed as broadcast nested loop (props side is tiny).
 
-    At dictionary sizes beyond broadcast, switch to the token-prejoin:
-    explode segment tokens, equi-join on first label token, then verify
-    containment — same results, shuffle instead of BNLJ.
+    At dictionary sizes beyond broadcast, use
+    :func:`suggest_properties_prejoin` — same results on token-aligned
+    dictionaries, shuffle instead of BNLJ.
     """
     p = F.broadcast(props_df.select("prop_id", "label"))
     return segments.crossJoin(p).filter(
         F.contains(F.lower(F.col(text_col)), F.lower(F.col("label")))
+    )
+
+
+def suggest_properties_prejoin(
+    segments: DataFrame, props_df: DataFrame, text_col: str = "seg_text"
+) -> DataFrame:
+    """V3 at beyond-broadcast dictionary sizes: the token-prejoin.
+
+    Plan shape: segments explode to DISTINCT lowercased word tokens
+    (narrow map), the dictionary projects each label's first token, the
+    two equi-join on that token (plain shuffle hash join — neither side
+    broadcasts, so a 100 M-label dictionary partitions like any fact
+    table), and survivors verify full substring containment exactly as
+    the BNLJ does.  Each (segment, property) pair survives at most once
+    (tokens are array_distinct, one first-token per label), matching
+    the BNLJ's output multiplicity — no dedup pass needed.
+
+    Recall contract: blocking assumes a matching label's FIRST TOKEN
+    appears token-aligned in the text (true whenever the label match
+    itself is token-aligned, e.g. 'start' in 'the start date' — and
+    pinned equal to the BNLJ on the full schema.org dictionary over
+    the synthetic corpus by pytest).  A label that only ever matches
+    mid-token ('name' inside 'surname' with no standalone 'name'
+    anywhere in the segment) is outside the contract — for such a
+    dictionary, chunk the BNLJ instead.  Empty labels are dropped
+    (the BNLJ's contains(text, '') = always-true degenerate is never
+    wanted at scale).
+    """
+    seg_cols = segments.columns
+    toks = segments.withColumn(
+        "_tok",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"(?U)[^\W_]+"), 0
+                )
+            )
+        ),
+    )
+    p = props_df.select(
+        "prop_id", "label",
+        F.regexp_extract(F.lower(F.col("label")), r"(?U)[^\W_]+", 0).alias(
+            "_tok"
+        ),
+    ).filter(F.col("_tok") != "")
+    return (
+        toks.join(p, "_tok")
+        .filter(F.contains(F.lower(F.col(text_col)), F.lower(F.col("label"))))
+        .select(*seg_cols, "prop_id", "label")
     )
 
 

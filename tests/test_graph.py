@@ -1182,3 +1182,32 @@ def test_kg_diff_stats_custom_keys(spark):
         for r in kg_diff_stats(d, keys=("ent", "rel")).collect()
     }
     assert got == {("added", "p3"): (1, 1), ("removed", "p2"): (1, 1)}
+
+
+def test_suggest_properties_prejoin_equals_bnlj(spark, sf_dir):
+    """The beyond-broadcast token-prejoin (shuffle equi-join on first
+    label token + containment verify) must return the same suggestion
+    set as the broadcast nested-loop theta-join on the full schema.org
+    dictionary — and its plan must not contain a nested-loop join."""
+    from kgc.vocab import (load_schemaorg, release_vocab,
+                           suggest_properties, suggest_properties_prejoin)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.col("text").alias("seg_text"))
+    )
+    _, props = load_schemaorg(spark)
+    try:
+        bnlj = {
+            (r["doc_id"], r["prop_id"])
+            for r in suggest_properties(docs, props).collect()
+        }
+        pre = suggest_properties_prejoin(docs, props)
+        got = {(r["doc_id"], r["prop_id"]) for r in pre.collect()}
+        assert len(bnlj) > 0  # non-vacuous ('name' etc. hit real text)
+        assert got == bnlj
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        release_vocab()
