@@ -509,7 +509,8 @@ def bgp_query(
 # relation over every graph term; `p?` (zero-or-one) is edges plus
 # identity; `^p` (inverse) swaps subject and object; `p|q`
 # (alternation) unions the alternatives' edge sets as a pushed
-# pred-IN scan.  Each is union'd
+# pred-IN scan; `!(p|q)` (negated property set) is the complementary
+# pushed pred-NOT-IN scan.  Each is union'd
 # into the pattern source under its own reserved predicate name — the
 # rest of the query planner is unchanged and the path leg joins like
 # any other pattern.  A SEQUENCE path `p/q[/r...]` (bare predicate
@@ -654,7 +655,18 @@ def parse_sparql(text: str) -> dict:
         nonlocal seq_n
         pats = []
         while is_term(peek()):
-            s_raw, p_raw, o_raw = take(), take(), take()
+            s_raw, p_raw = take(), take()
+            if p_raw == "!":
+                # negated property set !(p|q) tokenizes apart: fold it
+                # back into one "!p|q" predicate token
+                if peek() != "(":
+                    raise ValueError(
+                        "negated property set needs !(p) or !(p|q)"
+                    )
+                take("(")
+                p_raw = "!" + take()
+                take(")")
+            o_raw = take()
             s, o = _sparql_unquote(s_raw), _sparql_unquote(o_raw)
             for t in (s, o):
                 if t.startswith("?__seq"):
@@ -1008,17 +1020,23 @@ def _expand_property_paths(
         sets — compiled as a pushed ``pred IN (p, q)`` scan, zero extra
         shuffles.  Bare terms only (IRI-bracketed alternatives would
         tokenize apart); alternation does not nest with the others.
+      * ``!(p|q)`` (negated property set; bare ``!p`` too): every edge
+        whose predicate is NOT in the set — a pushed ``pred NOT IN
+        (p, q)`` scan.  Forward bare predicates only (no ^ inside, per
+        the same does-not-nest rule).
 
     One closure computation per distinct path predicate; closure
     subgraphs are tiny relative to the fact table (one predicate's
     edges), so each union costs a scan, not a shuffle."""
     orig = triples.select("subj", "pred", "obj")
     plus_preds, star_preds, alt_preds = set(), set(), set()
-    opt_preds, inv_preds = set(), set()
+    opt_preds, inv_preds, neg_preds = set(), set(), set()
     for _, p, _ in (*patterns, *optional):
         if p.startswith("?"):
             continue
-        if "|" in p:
+        if p.startswith("!"):
+            neg_preds.add(p)
+        elif "|" in p:
             alt_preds.add(p)
         elif p.startswith("^"):
             inv_preds.add(p[1:])
@@ -1104,6 +1122,23 @@ def _expand_property_paths(
         src = src.unionByName(
             orig.filter(F.col("pred").isin(parts)).select(
                 "subj", F.lit(alt).alias("pred"), "obj"
+            )
+        )
+    for neg in sorted(neg_preds):
+        parts = neg[1:].split("|")
+        if any(
+            not p or p.endswith(("+", "*", "?")) or p.startswith(("^", "!"))
+            for p in parts
+        ):
+            raise ValueError(
+                f"unsupported property path {neg!r} (negated sets take "
+                "bare forward predicates only)"
+            )
+        # SPARQL negated property set: any edge whose predicate is NOT
+        # in the set — a pushed NOT IN scan, zero extra shuffles
+        src = src.unionByName(
+            orig.filter(~F.col("pred").isin(parts)).select(
+                "subj", F.lit(neg).alias("pred"), "obj"
             )
         )
     return src

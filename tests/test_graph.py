@@ -1211,3 +1211,36 @@ def test_suggest_properties_prejoin_equals_bnlj(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         release_vocab()
+
+
+def test_sparql_negated_property_set(spark):
+    """!(p|q) compiles to a pushed pred-NOT-IN scan: every edge whose
+    predicate is outside the set."""
+    from kgc.graph import parse_sparql, sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?s ?o WHERE "
+        "{ ?s !(mentions|subClassOf|name) ?o } ORDER BY ?s ?o",
+    ).collect()
+    # only the two @type edges survive the negation
+    assert [tuple(r) for r in rows] == [
+        ("ent:1", "Person"), ("ent:2", "Place"),
+    ]
+    # single-member form
+    n = sparql_query(
+        kg, "SELECT ?s WHERE { ?s !(mentions) ?o }"
+    ).count()
+    assert n == 6  # 9 triples - 3 mentions edges
+    # bare !p (no parens) is the same single-member negated set
+    assert sparql_query(
+        kg, "SELECT ?s WHERE { ?s !mentions ?o }"
+    ).count() == 6
+    # nested forms stay loud, not silent
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sparql_query(
+            kg, "SELECT ?s WHERE { ?s !(^mentions) ?o }"
+        ).collect()
