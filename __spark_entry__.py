@@ -1387,13 +1387,29 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("d"), F.col("e")),
         F.col("t"),
     )
+    # subqueries (leg sparql_subquery): an aggregate { SELECT (COUNT)
+    # GROUP BY } subquery joined into the outer group — the
+    # per-entity-mention-count pattern; inner ?d is hidden, the COUNT
+    # alias rides out through the join.
+    subq = _leg(
+        sparql_query(
+            et,
+            """SELECT ?e ?n ?nd WHERE {
+                 ?e name ?n .
+                 { SELECT ?e (COUNT(?d) AS ?nd)
+                   WHERE { ?d mentions ?e } GROUP BY ?e } }""",
+        ),
+        "sparql_subquery",
+        F.col("e"),
+        F.concat_ws("|", F.col("n"), F.col("nd").cast("string")),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
         .unionByName(agg).unionByName(con).unionByName(ops)
         .unionByName(rt).unionByName(desc).unionByName(ask)
         .unionByName(diff).unionByName(path).unionByName(bind)
-        .unionByName(nullcompat)
+        .unionByName(nullcompat).unionByName(subq)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4276,7 +4292,13 @@ SELECT DISTINCT 'sparql_nullcompat', d || '|' || e, t FROM (
   UNION ALL
   SELECT ev.subj, ev.obj, v.t
   FROM etrip ev, (VALUES ('Person'), ('Event')) v(t)
-  WHERE ev.pred = 'events')"""
+  WHERE ev.pred = 'events')
+UNION ALL
+SELECT 'sparql_subquery', n.subj, n.obj || '|' || c.nd::VARCHAR
+FROM etrip n
+JOIN (SELECT obj AS e, count(*) AS nd FROM etrip
+      WHERE pred = 'mentions' GROUP BY obj) c ON c.e = n.subj
+WHERE n.pred = 'name'"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

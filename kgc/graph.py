@@ -494,7 +494,10 @@ def bgp_query(
 #           [BIND (expr AS ?v)]
 #           [{ tp ... } UNION { tp ... } [UNION ...]]
 #           [MINUS { tp ... }]
-#           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]  ... }
+#           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]
+#           [{ SELECT ... }]      — subquery (plain or aggregate),
+#             compiled independently and joined on shared visible vars
+#           ... }
 #   [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
 #
 # expr (BIND / SELECT expressions) is the scalar subset a KG consumer
@@ -786,6 +789,7 @@ def parse_sparql(text: str) -> dict:
     take("{")
     patterns, optional, filters = [], [], []
     unions, minus, values, exists, binds = [], [], [], [], []
+    subqueries: list[str] = []
 
     def braced_block():
         take("{")
@@ -926,6 +930,29 @@ def parse_sparql(text: str) -> dict:
                 exists.append((not neg, pats))
             else:
                 filters.append(filter_expr())
+        elif t == "{" and pos + 1 < len(toks) and (
+            toks[pos + 1].upper() == "SELECT"
+        ):
+            # { SELECT ... } — a subquery: capture its token span
+            # verbatim (matching-brace scan) and compile it later in
+            # _solve_where via the ordinary SELECT / aggregate
+            # front-ends, projected and joined into this group.
+            depth, j = 1, pos + 1
+            while j < len(toks) and depth:
+                if toks[j] == "{":
+                    depth += 1
+                elif toks[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unterminated subquery")
+            subqueries.append(" ".join(toks[pos + 1 : j - 1]))
+            pos = j
+            if peek() is not None and peek().upper() == "UNION":
+                raise ValueError(
+                    "subqueries inside UNION branches are outside the "
+                    "subset"
+                )
         elif t == "{":
             # { tp... } UNION { tp... } [UNION { tp... }]*
             branches = [braced_block()]
@@ -995,6 +1022,7 @@ def parse_sparql(text: str) -> dict:
         "optional": optional, "filters": filters, "order": order,
         "limit": limit, "offset": offset, "unions": unions, "minus": minus,
         "values": values, "exists": exists, "binds": binds,
+        "subqueries": subqueries,
     }
 
 
@@ -1371,6 +1399,34 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             sol = sol.unionByName(p)
         nullable = (nullable | (block_vars - bound_in_all)) - bound_in_all
 
+    for sub_text in q.get("subqueries", ()):
+        # { SELECT ... } compiles independently (its own parse, path
+        # expansion, projection — inner vars are hidden) and joins the
+        # group on shared visible variables: plain hash equi-join when
+        # every shared var is definitely bound on both sides,
+        # _compat_join (unbound matches anything) otherwise.
+        sub_df, sub_null = _compile_subselect(triples, sub_text, **bgp_kwargs)
+        if sol is None:
+            sol = sub_df
+            nullable = set(sub_null)
+            continue
+        shared = sorted(set(sol.columns) & set(sub_df.columns))
+        if not shared:
+            raise ValueError(
+                "subquery shares no variable with the rest of the group "
+                "(cross product)"
+            )
+        if set(shared) & (nullable | sub_null):
+            sol = _compat_join(sol, sub_df, shared, nullable, sub_null)
+        else:
+            sol = sol.join(sub_df, on=shared)
+        # a compat-merged shared var stays nullable only if BOTH sides
+        # could be unbound; everything else keeps its side's status
+        merged_bound = {
+            v for v in shared if v not in nullable or v not in sub_null
+        }
+        nullable = (nullable | sub_null) - merged_bound
+
     for vars_, rows in q["values"]:
         spark = triples.sparkSession
         vdf = spark.createDataFrame(
@@ -1460,31 +1516,55 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         if name in sol.columns:
             raise ValueError(f"BIND target ?{name} is already bound")
         sol = sol.withColumn(name, _compile_scalar(ast))
+        if _scalar_vars(ast) & nullable:
+            # an expression over a possibly-unbound var may itself be
+            # NULL (SPARQL: error → unbound) — conservative is safe
+            nullable.add(name)
 
-    return _apply_filters(sol, q["filters"])
+    return _apply_filters(sol, q["filters"]), nullable
 
 
-def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
-    """Run a SPARQL-subset query string against a (subj, pred, obj[,
-    obj_type]) triple table.  parse_sparql → property-path expansion →
-    group algebra (_solve_where: BGP joins + UNION/VALUES/MINUS +
-    FILTER) → projection/ORDER/LIMIT as plain Catalyst ops.  ORDER BY
-    is required for a deterministic LIMIT and that contract is the
-    caller's (same as SQL)."""
-    q = parse_sparql(text)
-    out = _solve_where(triples, q, **bgp_kwargs)
+def _scalar_vars(ast) -> set[str]:
+    """Variables referenced by a scalar-expression AST."""
+    kind = ast[0]
+    if kind == "var":
+        return {ast[1]}
+    if kind == "bin":
+        return _scalar_vars(ast[2]) | _scalar_vars(ast[3])
+    if kind == "fn":
+        out: set[str] = set()
+        for a in ast[2]:
+            out |= _scalar_vars(a)
+        return out
+    return set()
+
+
+def _finish_select(
+    out: DataFrame, q: dict, nullable: set[str]
+) -> tuple[DataFrame, set[str]]:
+    """Shared SELECT tail: projection (plain vars and (expr AS ?v)),
+    DISTINCT, ORDER BY, OFFSET, LIMIT — plus the nullable set narrowed
+    to the visible columns (an expression column inherits nullability
+    from its referenced vars, conservatively)."""
     if q["select"] is not None:
-        out = out.select(*[
-            _compile_scalar(item[2]).alias(item[1])
-            if isinstance(item, tuple) else F.col(item)
-            for item in q["select"]
-        ])
+        cols, vis_null = [], set()
+        for item in q["select"]:
+            if isinstance(item, tuple):
+                cols.append(_compile_scalar(item[2]).alias(item[1]))
+                if _scalar_vars(item[2]) & nullable:
+                    vis_null.add(item[1])
+            else:
+                cols.append(F.col(item))
+                if item in nullable:
+                    vis_null.add(item)
+        out = out.select(*cols)
     else:
         # SELECT *: the fresh ?__seqN intermediates from sequence
         # property-path rewriting are plumbing, not user bindings
         seq_cols = [c for c in out.columns if c.startswith("__seq")]
         if seq_cols:
             out = out.drop(*seq_cols)
+        vis_null = nullable & set(out.columns)
     if q["distinct"]:
         out = out.dropDuplicates()
     if q["order"]:
@@ -1496,7 +1576,32 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
         out = out.offset(q["offset"])
     if q["limit"] is not None:
         out = out.limit(q["limit"])
-    return out
+    return out, vis_null
+
+
+def _compile_subselect(
+    triples: DataFrame, text: str, **bgp_kwargs
+) -> tuple[DataFrame, set[str]]:
+    """Compile a { SELECT ... } subquery to (solution, nullable-vars).
+    Routes to the aggregate front-end when the SELECT list carries an
+    (AGG(...) AS ?x); otherwise the ordinary SELECT pipeline."""
+    if _SELECT_AGG.search(text):
+        return _sparql_aggregate_impl(triples, text, **bgp_kwargs)
+    q = parse_sparql(text)
+    sol, nullable = _solve_where(triples, q, **bgp_kwargs)
+    return _finish_select(sol, q, nullable)
+
+
+def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """Run a SPARQL-subset query string against a (subj, pred, obj[,
+    obj_type]) triple table.  parse_sparql → property-path expansion →
+    group algebra (_solve_where: BGP joins + UNION/VALUES/MINUS/
+    subqueries + FILTER) → projection/ORDER/LIMIT as plain Catalyst
+    ops.  ORDER BY is required for a deterministic LIMIT and that
+    contract is the caller's (same as SQL)."""
+    q = parse_sparql(text)
+    out, nullable = _solve_where(triples, q, **bgp_kwargs)
+    return _finish_select(out, q, nullable)[0]
 
 
 # SPARQL aggregates + CONSTRUCT + ASK + DESCRIBE — the rest of the
@@ -1525,7 +1630,9 @@ _SELECT_AGG = re.compile(
 )
 
 
-def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+def _sparql_aggregate_impl(
+    triples: DataFrame, text: str, **bgp_kwargs
+) -> tuple[DataFrame, set[str]]:
     """SPARQL GROUP BY aggregation over a triple table.  Grammar:
 
       SELECT ?g ... (AGG(?v|*) AS ?alias) ... WHERE { ... } GROUP BY ?g ...
@@ -1578,7 +1685,7 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
                     r"\g<1>* ", lifted)
 
     q = parse_sparql(lifted)
-    out = _solve_where(triples, q, **bgp_kwargs)
+    out, sub_null = _solve_where(triples, q, **bgp_kwargs)
     exprs = []
     for fn, dist, var, alias in aggs:
         col = F.col(var) if var else F.lit(1)
@@ -1625,7 +1732,23 @@ def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
         out = out.offset(q["offset"])
     if q["limit"] is not None:
         out = out.limit(q["limit"])
-    return out
+    # nullability of the aggregate output (consumed by the subquery
+    # join): a group var stays nullable if it was; a value aggregate
+    # (SUM/AVG/MIN/MAX/SAMPLE) over a possibly-unbound var can be NULL
+    # when a group holds only unbound bindings; COUNT / GROUP_CONCAT
+    # never are.
+    nullable = {g for g in group_vars if g in sub_null} | {
+        alias for fn, _, var, alias in aggs
+        if fn in ("SUM", "AVG", "MIN", "MAX", "SAMPLE")
+        and var is not None and var in sub_null
+    }
+    return out, nullable
+
+
+def sparql_aggregate(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
+    """Public aggregate front-end — see _sparql_aggregate_impl for the
+    grammar; returns just the result DataFrame."""
+    return _sparql_aggregate_impl(triples, text, **bgp_kwargs)[0]
 
 
 def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
@@ -1705,7 +1828,7 @@ def sparql_ask(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     if not m:
         raise ValueError("expected ASK [WHERE] { ... }")
     q = parse_sparql("SELECT * WHERE " + m.group(1))
-    sol = _solve_where(triples, q, **bgp_kwargs)
+    sol, _ = _solve_where(triples, q, **bgp_kwargs)
     return (
         sol.select(F.lit(1).alias("_one"))
         .limit(1)
@@ -1739,7 +1862,7 @@ def sparql_describe(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     res: DataFrame | None = None
     if m.group(2):
         q = parse_sparql("SELECT * " + m.group(2))
-        sol = _solve_where(triples, q, **bgp_kwargs)
+        sol, _ = _solve_where(triples, q, **bgp_kwargs)
         missing = [v for v in vars_ if v not in sol.columns]
         if missing:
             raise ValueError(f"DESCRIBE vars not bound by WHERE: {missing}")

@@ -1244,3 +1244,90 @@ def test_sparql_negated_property_set(spark):
         sparql_query(
             kg, "SELECT ?s WHERE { ?s !(^mentions) ?o }"
         ).collect()
+
+
+def test_sparql_subquery_aggregate(spark):
+    """{ SELECT (COUNT ...) GROUP BY } subquery joined into the outer
+    group — the per-entity-mention-count pattern every KG consumer
+    writes: outer patterns see only the subquery's projected vars."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        """SELECT ?e ?n ?nd WHERE {
+             ?e name ?n .
+             { SELECT ?e (COUNT(?d) AS ?nd)
+               WHERE { ?d mentions ?e } GROUP BY ?e }
+           } ORDER BY ?e""",
+    ).collect()
+    assert [(r.e, r.n, r.nd) for r in rows] == [
+        ("ent:1", "Ada", 1), ("ent:2", "Paris", 2),
+    ]
+
+
+def test_sparql_subquery_select(spark):
+    """Non-aggregate subquery: inner vars are hidden (?d does not leak),
+    the projected var joins the outer group."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    out = sparql_query(
+        kg,
+        """SELECT ?e ?t WHERE {
+             ?e "@type" ?t .
+             { SELECT DISTINCT ?e WHERE { ?d mentions ?e . ?d mentions ent:1 } }
+           } ORDER BY ?e""",
+    )
+    assert sorted(out.columns) == ["e", "t"]
+    assert [(r.e, r.t) for r in out.collect()] == [
+        ("ent:1", "Person"), ("ent:2", "Place"),
+    ]
+
+
+def test_sparql_subquery_loud_failures(spark):
+    import pytest as _pt
+
+    from kgc.graph import parse_sparql, sparql_query
+
+    kg = _kg(spark)
+    # no shared variable with the rest of the group
+    with _pt.raises(ValueError, match="cross product"):
+        sparql_query(
+            kg,
+            "SELECT ?x WHERE { ?x name ?n . "
+            "{ SELECT ?q WHERE { ?q mentions ?z } } }",
+        )
+    # subquery inside a UNION branch is out of subset
+    with _pt.raises(ValueError, match="UNION"):
+        parse_sparql(
+            "SELECT ?x WHERE { { SELECT ?x WHERE { ?x name ?n } } "
+            "UNION { ?x events ?y } }"
+        )
+
+
+def test_sparql_subquery_nullable_compat(spark):
+    """A subquery var that is OPTIONAL-bound inside the subquery joins
+    the outer group compatibility-style (unbound matches anything)."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark).unionByName(
+        spark.createDataFrame(
+            [("ent:3", "@type", "Place", "literal")],
+            "subj string, pred string, obj string, obj_type string",
+        )
+    )
+    # inner: every typed entity, with its name if any (ent:3 has none →
+    # ?n unbound). outer: ?n must compat-join against name values, so
+    # the unbound ?n row matches every name.
+    rows = sparql_query(
+        kg,
+        """SELECT DISTINCT ?e ?n WHERE {
+             ?someone name ?n .
+             { SELECT ?e ?n WHERE { ?e "@type" ?t . OPTIONAL { ?e name ?n } } }
+           } ORDER BY ?e ?n""",
+    ).collect()
+    assert [(r.e, r.n) for r in rows] == [
+        ("ent:1", "Ada"), ("ent:2", "Paris"),
+        ("ent:3", "Ada"), ("ent:3", "Paris"),
+    ]
