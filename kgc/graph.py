@@ -1308,8 +1308,9 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     # unbound variable is compatible with ANYTHING, so a nullable
     # column must never silently become an equi-join key (an equi-join
     # on NULL drops the row).  Joins over nullable shared vars go
-    # through _compat_join; MINUS/EXISTS raise loudly (their
-    # unbound-domain semantics need dom(μ) tracking, out of subset).
+    # through _compat_join; MINUS gets the spec's dom(μ)-overlap
+    # condition and EXISTS the substitution-compatibility condition
+    # (see their loops below).
     sol: DataFrame | None = None
     nullable: set[str] = set()
     if q["patterns"]:
@@ -1467,14 +1468,31 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     for mpats in q["minus"]:
         msol = bgp_query(src, mpats, **bgp_kwargs)
         shared = sorted(set(sol.columns) & set(msol.columns))
-        if set(shared) & nullable:
-            raise ValueError(
-                f"MINUS shares nullable variable(s) "
-                f"{sorted(set(shared) & nullable)} with the group — "
-                "unbound-domain MINUS semantics are outside the subset "
-                "(bind the variable in every branch, or restructure)"
-            )
-        if shared:  # disjoint domains: MINUS removes nothing (per spec)
+        null_shared = sorted(set(shared) & nullable)
+        if shared and null_shared:
+            # Unbound-domain MINUS, exactly per spec: drop μ1 iff some
+            # μ2 is compatible (equal on every shared var BOUND in μ1 —
+            # pattern-solution μ2 vars are always bound) AND dom(μ1) ∩
+            # dom(μ2) ≠ ∅ (at least one shared var bound in μ1; a row
+            # with every shared var unbound survives).  The equality
+            # conjuncts on definitely-bound vars remain hash-join keys;
+            # the all-shared-nullable case degenerates to a nested
+            # loop — the honest price of unbound-matches-anything.
+            ren = msol.select(
+                *[F.col(v).alias(f"__m_{v}") for v in shared]
+            ).dropDuplicates()
+            compat = None
+            for v in shared:
+                c = F.col(v) == F.col(f"__m_{v}")
+                if v in nullable:
+                    c = c | F.col(v).isNull()
+                compat = c if compat is None else compat & c
+            overlap = None
+            for v in shared:
+                c = F.col(v).isNotNull()
+                overlap = c if overlap is None else overlap | c
+            sol = sol.join(ren, on=compat & overlap, how="left_anti")
+        elif shared:  # disjoint domains: MINUS removes nothing (per spec)
             sol = sol.join(
                 msol.select(*shared).dropDuplicates(), on=shared,
                 how="left_anti",
@@ -1483,15 +1501,26 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     for positive, epats in q["exists"]:
         esol = bgp_query(src, epats, **bgp_kwargs)
         shared = sorted(set(sol.columns) & set(esol.columns))
-        if set(shared) & nullable:
-            raise ValueError(
-                f"FILTER [NOT] EXISTS shares nullable variable(s) "
-                f"{sorted(set(shared) & nullable)} with the group — "
-                "unbound-substitution EXISTS semantics are outside the "
-                "subset (bind the variable in every branch, or "
-                "restructure)"
+        null_shared = sorted(set(shared) & nullable)
+        if shared and null_shared:
+            # Substitution semantics with possibly-unbound vars: an
+            # unbound shared var is NOT substituted, stays a free
+            # variable inside the EXISTS group, and matches anything —
+            # a compat semi/anti join (equality required only where the
+            # solution side is bound).  Same join-key note as MINUS.
+            ren = esol.select(
+                *[F.col(v).alias(f"__e_{v}") for v in shared]
+            ).dropDuplicates()
+            compat = None
+            for v in shared:
+                c = F.col(v) == F.col(f"__e_{v}")
+                if v in nullable:
+                    c = c | F.col(v).isNull()
+                compat = c if compat is None else compat & c
+            sol = sol.join(
+                ren, on=compat, how="left_semi" if positive else "left_anti"
             )
-        if shared:
+        elif shared:
             # correlated: substitution over the shared variables is an
             # exact semi/anti hash join on NULL-free solutions
             sol = sol.join(

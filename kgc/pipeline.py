@@ -228,6 +228,9 @@ def run(
     (StageStore.write_bucketed).
     """
     alias_df = alias_df if alias_df is not None else _default_alias_df(spark)
+    # one driver-side distinct of the dictionary; detect_mentions ships
+    # it back out as a real sc.broadcast (once per worker), and the scan
+    # trie is built once per Python worker process (kgc/mentions.py)
     aliases = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
     limit = seg_token_limit if seg_token_limit is not None else max_tokens
 

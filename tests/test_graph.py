@@ -1130,27 +1130,26 @@ def test_sparql_values_compat_on_nullable_var(spark):
     ]
 
 
-def test_sparql_minus_exists_nullable_raise(spark):
-    """MINUS / EXISTS over a nullable shared var: unbound-domain
-    semantics are outside the subset — loud failure, not a silent
-    NULL-keyed anti-join."""
-    import pytest as _pt
-
+def test_sparql_minus_exists_nullable_exact_not_nullkeyed(spark):
+    """MINUS / EXISTS over a nullable shared var must use the spec's
+    compatibility conditions, never a silent NULL-keyed anti-join
+    (which would drop or keep the wrong rows).  Here ?t is unbound in
+    EVERY solution (OPTIONAL on a predicate with no edges) and the
+    MINUS/EXISTS groups are empty: MINUS removes nothing (empty right
+    side), EXISTS keeps nothing, NOT EXISTS keeps everything."""
     from kgc.graph import sparql_query
 
     kg = _kg(spark)
-    with _pt.raises(ValueError, match="MINUS shares nullable"):
-        sparql_query(
-            kg,
-            "SELECT ?e WHERE { ?e name ?n . OPTIONAL { ?e nosuchpred ?t } "
-            "MINUS { ?z tag ?t } }",
-        )
-    with _pt.raises(ValueError, match="EXISTS shares nullable"):
-        sparql_query(
-            kg,
-            "SELECT ?e WHERE { ?e name ?n . OPTIONAL { ?e nosuchpred ?t } "
-            "FILTER EXISTS { ?z tag ?t } }",
-        )
+    base = "{ ?e name ?n . OPTIONAL { ?e nosuchpred ?t } "
+    assert sparql_query(
+        kg, "SELECT ?e WHERE " + base + "MINUS { ?z tag ?t } }"
+    ).count() == 2
+    assert sparql_query(
+        kg, "SELECT ?e WHERE " + base + "FILTER EXISTS { ?z tag ?t } }"
+    ).count() == 0
+    assert sparql_query(
+        kg, "SELECT ?e WHERE " + base + "FILTER NOT EXISTS { ?z tag ?t } }"
+    ).count() == 2
 
 
 def test_alternation_rejects_nested_path_forms(spark):
@@ -1331,3 +1330,62 @@ def test_sparql_subquery_nullable_compat(spark):
         ("ent:1", "Ada"), ("ent:2", "Paris"),
         ("ent:3", "Ada"), ("ent:3", "Paris"),
     ]
+
+
+def _kg_unnamed(spark):
+    """_kg plus an entity with a type but NO name (ent:3) and a doc
+    mentioning it — the unbound-?n case for MINUS/EXISTS semantics."""
+    extra = spark.createDataFrame(
+        [("doc:3", "mentions", "ent:3", "node"),
+         ("ent:3", "@type", "Place", "literal")],
+        "subj string, pred string, obj string, obj_type string",
+    )
+    return _kg(spark).unionByName(extra)
+
+
+def test_sparql_minus_unbound_domain_exact(spark):
+    """Spec MINUS over a possibly-unbound shared var: a solution whose
+    shared vars are ALL unbound has an empty domain intersection with
+    every MINUS solution and must SURVIVE; bound ones are removed by
+    compatibility."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _kg_unnamed(spark),
+        """SELECT ?d ?n WHERE {
+             ?d mentions ?e . OPTIONAL { ?e name ?n }
+             MINUS { ?x name ?n } } ORDER BY ?d""",
+    ).collect()
+    # every named row is compatible with some {?x name ?n} solution and
+    # shares dom {n}; the unnamed (doc:3, NULL) row has empty overlap
+    assert [(r.d, r.n) for r in rows] == [("doc:3", None)]
+
+
+def test_sparql_exists_unbound_substitution_exact(spark):
+    """FILTER EXISTS substitution semantics with an unbound var: the
+    unbound ?n is not substituted, stays free inside the group, and
+    matches anything — the row passes iff the group is satisfiable."""
+    from kgc.graph import sparql_query
+
+    kg = _kg_unnamed(spark)
+    pos = sparql_query(
+        kg,
+        """SELECT ?d ?n WHERE {
+             ?d mentions ?e . OPTIONAL { ?e name ?n }
+             FILTER EXISTS { ?p2 name ?n . ?p2 "@type" Person } }
+           ORDER BY ?d""",
+    ).collect()
+    # bound: only Ada is a Person name; unbound (doc:3): free ?n →
+    # the EXISTS group is non-empty → true
+    assert [(r.d, r.n) for r in pos] == [("doc:1", "Ada"), ("doc:3", None)]
+    neg = sparql_query(
+        kg,
+        """SELECT ?d ?n WHERE {
+             ?d mentions ?e . OPTIONAL { ?e name ?n }
+             FILTER NOT EXISTS { ?p2 name ?n . ?p2 "@type" Person } }
+           ORDER BY ?d ?n""",
+    ).collect()
+    assert [(r.d, r.n) for r in neg] == [
+        ("doc:1", "Paris"), ("doc:2", "Paris"),
+    ]
+
