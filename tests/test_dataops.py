@@ -104,6 +104,44 @@ def test_minhash_finds_near_dups_not_random(spark, docs):
         assert r["jaccard"] >= 0.5, (r["a"], r["b"], r["jaccard"])
 
 
+def test_minhash_pairs_plan_shape(spark):
+    """Plan-shape regression pin for the minhash_pairs bench leg (the
+    r4 single-pass Arrow path).  Two past regressions this must catch
+    early (both were caught late, by the bench):
+
+    * CollapseProject cloning the shingle+band UDF into THREE live
+      ArrowEvalPython nodes when the persist at the struct boundary is
+      lost (0.84 s → 4.2 s).  In a healthy plan every ArrowEvalPython
+      occurrence is the SAME cached node reprinted inside an
+      InMemoryRelation dump — identical expression ids, hence exactly
+      one distinct line.  Clones get fresh attribute ids and show up
+      as >1 distinct line.
+    * The lanes-as-data min(string) SortAggregate the single-pass UDF
+      removed (3.6 s of the 8 s query) — must stay gone.
+
+    Also pins: band self-join stays an equi-join (no nested loop /
+    cartesian)."""
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta epsilon zeta " * 3) + f"x{i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_near_duplicates(docs, k=16, bands=4, threshold=0.5)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        arrow_nodes = {
+            l[l.index("ArrowEvalPython"):]
+            for l in plan.splitlines() if "ArrowEvalPython" in l
+        }
+        assert len(arrow_nodes) == 1, arrow_nodes
+        assert "SortAggregate" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        for d in getattr(out, "_kgc_pinned", []):
+            d.unpersist()
+
+
 def test_simhash_stability_and_sensitivity(spark):
     df = spark.createDataFrame(
         [

@@ -1389,3 +1389,87 @@ def test_sparql_exists_unbound_substitution_exact(spark):
         ("doc:1", "Paris"), ("doc:2", "Paris"),
     ]
 
+
+# ------------------------------------------------- bench-leg plan pins ---
+def _bench_kg(spark):
+    """Tiny KG with the exact predicate vocabulary of the sf0.1 bench
+    KG (bench.py sparql_kg/sparql_algebra legs) — plan SHAPE is
+    data-size-independent for these pins."""
+    rows = [
+        ("doc:1", "mentions", "ent:1", "node"),
+        ("doc:1", "locations", "ent:2", "node"),
+        ("doc:2", "mentions", "ent:2", "node"),
+        ("doc:2", "locations", "ent:2", "node"),
+        ("ent:1", "@type", "Person", "literal"),
+        ("ent:2", "@type", "Place", "literal"),
+        ("ent:1", "name", "entity 1", "literal"),
+        ("ent:2", "name", "entity 2", "literal"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string"
+    )
+
+
+def test_sparql_algebra_bench_leg_plan_shape(spark):
+    """Pin the exact plan shape of the sparql_algebra bench leg.  The
+    r4 regression this must catch: distributing the solution join over
+    the UNION branches when the fast path applies (every branch binds
+    every join var, none nullable) — K copies of the type-dim join
+    instead of ONE join against the unioned block (4.77 s vs 3.0 s at
+    sf0.1, caught by the bench, late).  Healthy shape, pinned on the
+    optimized logical plan:
+
+    * exactly ONE inner equi-join on ?p — the union block joins the
+      solution subtree once;
+    * the VALUES probe joins ?t under a broadcast hint;
+    * the MINUS anti-join is pushed BELOW the union by Catalyst (one
+      LeftAnti per branch, i.e. >= 2) — anti-join above the union
+      would print exactly one;
+    * physically: no nested-loop or cartesian anywhere."""
+    import re
+
+    from kgc.graph import sparql_query
+
+    out = sparql_query(
+        _bench_kg(spark),
+        """SELECT DISTINCT ?d ?p ?t WHERE {
+             { ?d mentions ?p } UNION { ?d locations ?p }
+             ?p "@type" ?t .
+             VALUES ?t { Person Place }
+             MINUS { ?d mentions ent:1 } }""",
+    )
+    lp = out._jdf.queryExecution().optimizedPlan().toString()
+    p_joins = re.findall(r"Join Inner, \(p#\d+ = p#\d+\)", lp)
+    assert len(p_joins) == 1, lp
+    assert re.search(
+        r"Join Inner, \(t#\d+ = t#\d+\), rightHint=\(strategy=broadcast\)", lp
+    ), lp
+    assert lp.count("Join LeftAnti") >= 2, lp
+    pp = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in pp
+    assert "CartesianProduct" not in pp
+    # and the pinned plan still answers correctly: doc:1 mentions the
+    # hot entity -> removed entirely; doc:2's rows survive
+    rows = {(r.d, r.p, r.t) for r in out.collect()}
+    assert rows == {("doc:2", "ent:2", "Place")}
+
+
+def test_sparql_kg_bench_leg_plan_shape(spark):
+    """Pin the sparql_kg bench-leg plan: the two @type dimension
+    probes ride BroadcastHashJoins (constants pushed into the scans,
+    never a shuffled dim join at this cardinality ratio) and nothing
+    degenerates to a nested loop."""
+    from kgc.graph import sparql_query
+
+    out = sparql_query(
+        _bench_kg(spark),
+        """SELECT DISTINCT ?d ?p ?pl WHERE {
+             ?d mentions ?p . ?p "@type" Person .
+             ?d locations ?pl . ?pl "@type" Place }""",
+    )
+    pp = out._jdf.queryExecution().executedPlan().toString()
+    assert pp.count("BroadcastHashJoin") >= 2, pp
+    assert "BroadcastNestedLoopJoin" not in pp
+    assert "CartesianProduct" not in pp
+    rows = {(r.d, r.p, r.pl) for r in out.collect()}
+    assert rows == {("doc:1", "ent:1", "ent:2")}
