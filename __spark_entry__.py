@@ -1183,7 +1183,10 @@ def q_graph_suite(spark, sf_dir):
     entity) + ASK (existence probes, one true one false) + KG snapshot
     diff (leg kg_diff: yesterday's KG vs a perturbed today's — events
     edges dropped, CONSTRUCTed cites added — must report exactly those;
-    kgc.triples.kg_diff).  Legs tagged
+    kgc.triples.kg_diff) + the r5 exact unbound-domain semantics in
+    their divergent cases (legs sparql_minus_unbound /
+    sparql_exists_unbound: rows where the spec answer differs from a
+    naive NULL-keyed equi-join — see the inline comments).  Legs tagged
     (fn, key, out); ints ride as strings (formatting-exact);
     clustering rides 1e6-scaled."""
     # ONE persisted entity-triple table feeds all six KG-consumer legs
@@ -1403,6 +1406,39 @@ def q_graph_suite(spark, sf_dir):
         F.col("e"),
         F.concat_ws("|", F.col("n"), F.col("nd").cast("string")),
     )
+    # r5 exact unbound-domain semantics, each in its DIVERGENT case —
+    # the input rows where the spec answer differs from a naive
+    # NULL-keyed equi-join, so the hash check pins the semantics, not
+    # just the plumbing.  Leg sparql_minus_unbound: the UNION's first
+    # branch pads ?ev to NULL, and MINUS { ?d events ?ev } must still
+    # remove those pad rows whenever the doc HAS events (compatible on
+    # the bound ?d, unbound ?ev matches anything, dom-overlap via ?d)
+    # — a NULL-keyed anti join would keep every pad row.  Leg
+    # sparql_exists_unbound: FILTER EXISTS over a possibly-unbound
+    # ?ev must PASS the unbound rows (the unsubstituted group is
+    # satisfiable) — a NULL-keyed semi join would drop them.
+    minus_unb = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?d ?e ?ev WHERE {
+                 { ?d mentions ?e } UNION { ?d about ?e . ?d events ?ev }
+                 MINUS { ?d events ?ev } }""",
+        ),
+        "sparql_minus_unbound",
+        F.concat_ws("|", F.col("d"), F.col("e")),
+        F.coalesce(F.col("ev"), F.lit("")),
+    )
+    exists_unb = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?d ?e ?ev WHERE {
+                 ?d mentions ?e . OPTIONAL { ?d events ?ev }
+                 FILTER EXISTS { ?x events ?ev } }""",
+        ),
+        "sparql_exists_unbound",
+        F.concat_ws("|", F.col("d"), F.col("e")),
+        F.coalesce(F.col("ev"), F.lit("")),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
@@ -1410,6 +1446,7 @@ def q_graph_suite(spark, sf_dir):
         .unionByName(rt).unionByName(desc).unionByName(ask)
         .unionByName(diff).unionByName(path).unionByName(bind)
         .unionByName(nullcompat).unionByName(subq)
+        .unionByName(minus_unb).unionByName(exists_unb)
     )
     out._kgc_pinned = [et]  # released by kgc.pipeline.release
     return out
@@ -4298,7 +4335,29 @@ SELECT 'sparql_subquery', n.subj, n.obj || '|' || c.nd::VARCHAR
 FROM etrip n
 JOIN (SELECT obj AS e, count(*) AS nd FROM etrip
       WHERE pred = 'mentions' GROUP BY obj) c ON c.e = n.subj
-WHERE n.pred = 'name'"""
+WHERE n.pred = 'name'
+UNION ALL
+-- exact unbound-domain MINUS: the union's mentions branch pads ?ev to
+-- NULL; compatibility on the bound ?d removes every row whose doc has
+-- events (incl. the NULL pads), and the about-branch rows (ev bound =
+-- one of the doc's events) are removed likewise — survivors are the
+-- mentions of event-less docs, ev = ''
+SELECT DISTINCT 'sparql_minus_unbound', m.subj || '|' || m.obj, ''
+FROM etrip m
+WHERE m.pred = 'mentions'
+  AND NOT EXISTS (SELECT 1 FROM etrip ev
+                  WHERE ev.pred = 'events' AND ev.subj = m.subj)
+UNION ALL
+-- exact unbound-substitution EXISTS: bound ?ev rows pass (their event
+-- object exists in the group), unbound rows pass because the
+-- unsubstituted ?x-events-?ev group is satisfiable — so EVERY
+-- (d, e, optional-ev) row survives
+SELECT DISTINCT 'sparql_exists_unbound', m.subj || '|' || m.obj,
+       coalesce(ev.obj, '')
+FROM etrip m
+LEFT JOIN (SELECT subj, obj FROM etrip WHERE pred = 'events') ev
+       ON ev.subj = m.subj
+WHERE m.pred = 'mentions'"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

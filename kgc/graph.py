@@ -616,9 +616,13 @@ def _sparql_unquote(tok: str) -> str:
 
 def parse_sparql(text: str) -> dict:
     """Parse the SPARQL subset to a plain dict:
-    {select, distinct, patterns, optional, filters, order, limit,
-    offset, unions, minus, values, binds}.  ``select`` items are plain
-    var names or ("expr", name, ast) for (expr AS ?v).  ``filters``
+    {select, distinct, patterns, optional, optional_groups, filters,
+    order, limit, offset, unions, minus, values, binds}.  ``select``
+    items are plain var names or ("expr", name, ast) for (expr AS ?v).
+    ``optional`` holds single-pattern OPTIONALs (independent left
+    joins); a multi-pattern ``OPTIONAL { tp . tp ... }`` is a GROUP
+    per the spec — all-or-nothing binding — and lands in
+    ``optional_groups`` as its own pattern list.  ``filters``
     entries are boolean ASTs: leaves tagged ("cmp", lhs, op, rhs) |
     ("regex", var, pat, flags) | ("bound", var, positive), interior
     nodes ("and"|"or", l, r) and ("not", e) from &&/||/!(...).
@@ -788,6 +792,7 @@ def parse_sparql(text: str) -> dict:
     take("WHERE")
     take("{")
     patterns, optional, filters = [], [], []
+    optional_groups: list[list] = []
     unions, minus, values, exists, binds = [], [], [], [], []
     subqueries: list[str] = []
 
@@ -915,7 +920,14 @@ def parse_sparql(text: str) -> dict:
             raise ValueError("unterminated WHERE group")
         if t.upper() == "OPTIONAL":
             take()
-            optional.extend(braced_block())
+            blk = braced_block()
+            if len(blk) == 1:
+                optional.extend(blk)
+            else:
+                # multi-pattern OPTIONAL is a GROUP per the spec: its
+                # patterns bind all-or-nothing, so it cannot ride the
+                # flat per-pattern left-join list
+                optional_groups.append(blk)
         elif t.upper() == "FILTER":
             take()
             nxt = peek()
@@ -1019,7 +1031,8 @@ def parse_sparql(text: str) -> dict:
             raise ValueError(f"unexpected trailing token {t!r}")
     return {
         "select": select, "distinct": distinct, "patterns": patterns,
-        "optional": optional, "filters": filters, "order": order,
+        "optional": optional, "optional_groups": optional_groups,
+        "filters": filters, "order": order,
         "limit": limit, "offset": offset, "unions": unions, "minus": minus,
         "values": values, "exists": exists, "binds": binds,
         "subqueries": subqueries,
@@ -1231,6 +1244,7 @@ def _compat_join(
     sol_nullable: set[str],
     other_nullable: set[str],
     broadcast_other: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """SPARQL-compatibility join: two solutions are compatible when
     every shared variable is equal OR unbound on either side, and the
@@ -1241,7 +1255,9 @@ def _compat_join(
     is definitely bound this stays a hash join with a residual
     condition; the all-keys-nullable case degenerates to a (broadcast)
     nested loop, the honest price of unbound-matches-anything.
-    Merged bindings come back via coalesce."""
+    Merged bindings come back via coalesce.  ``how="left"`` gives the
+    spec's LeftJoin over the same compatibility condition (OPTIONAL
+    groups sharing a nullable var)."""
     ren = other
     for v in shared:
         ren = ren.withColumnRenamed(v, f"__c_{v}")
@@ -1255,7 +1271,7 @@ def _compat_join(
         if v in other_nullable:
             c = c | F.col(f"__c_{v}").isNull()
         cond = c if cond is None else cond & c
-    j = sol.join(ren, on=cond)
+    j = sol.join(ren, on=cond, how=how)
     out_cols = [
         F.coalesce(F.col(c), F.col(f"__c_{c}")).alias(c)
         if c in shared and c in sol_nullable else F.col(c)
@@ -1294,6 +1310,8 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     Property paths (`p+`) are expanded once over ALL groups' patterns
     before compilation."""
     all_pats = list(q["patterns"]) + list(q["optional"])
+    for g in q.get("optional_groups", ()):
+        all_pats.extend(g)
     for branches in q["unions"]:
         for b in branches:
             all_pats.extend(b)
@@ -1316,8 +1334,31 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     if q["patterns"]:
         sol = bgp_query(src, q["patterns"], optional=q["optional"], **bgp_kwargs)
         nullable = _pattern_vars(q["optional"]) - _pattern_vars(q["patterns"])
-    elif q["optional"]:
+    elif q["optional"] or q.get("optional_groups"):
         raise ValueError("OPTIONAL requires at least one required pattern")
+
+    for blk in q.get("optional_groups", ()):
+        # multi-pattern OPTIONAL group: spec LeftJoin — the group's
+        # patterns join each other first (all-or-nothing binding), then
+        # left-join the solution; a solution row with no compatible
+        # group row survives with every group-only var unbound.  A
+        # nullable shared var takes the compat form of the left join
+        # (unbound matches anything, merged binding via coalesce).
+        gsol = bgp_query(src, blk, **bgp_kwargs)
+        gvars = set(gsol.columns)
+        shared = sorted(set(sol.columns) & gvars)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {blk} shares no variable with the "
+                "required group — its left join would be a cross product"
+            )
+        if set(shared) & nullable:
+            sol = _compat_join(
+                sol, gsol, shared, nullable, set(), how="left"
+            )
+        else:
+            sol = sol.join(gsol, on=shared, how="left")
+        nullable |= gvars - set(shared)
 
     for branches in q["unions"]:
         branch_vars = [_pattern_vars(b) for b in branches]
@@ -1810,7 +1851,9 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     where_subj_vars = set()
     wq = parse_sparql("SELECT * " + m.group(2))
     union_pats = [p for block in wq["unions"] for b in block for p in b]
-    for s, _, _ in (*wq["patterns"], *wq["optional"], *union_pats):
+    group_pats = [p for g in wq.get("optional_groups", ()) for p in g]
+    for s, _, _ in (*wq["patterns"], *wq["optional"], *union_pats,
+                    *group_pats):
         if s.startswith("?"):
             where_subj_vars.add(s[1:])
 

@@ -1473,3 +1473,62 @@ def test_sparql_kg_bench_leg_plan_shape(spark):
     assert "CartesianProduct" not in pp
     rows = {(r.d, r.p, r.pl) for r in out.collect()}
     assert rows == {("doc:1", "ent:1", "ent:2")}
+
+
+# ---------------------------------------------------- OPTIONAL groups ---
+def test_optional_group_binds_all_or_nothing(spark):
+    """Multi-pattern OPTIONAL is a GROUP per the spec: its patterns
+    join each other first, and a solution row extends only when the
+    WHOLE group matches.  ent:2 is a Place — the group's Person probe
+    fails, so ?n must stay unbound even though `?e name ?n` alone
+    would match (the flat per-pattern left-join bug this pins)."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _kg(spark),
+        """SELECT ?d ?e ?n WHERE {
+             ?d mentions ?e
+             OPTIONAL { ?e "@type" Person . ?e name ?n } }
+           ORDER BY ?d ?e""",
+    ).collect()
+    assert [(r.d, r.e, r.n) for r in rows] == [
+        ("doc:1", "ent:1", "Ada"),
+        ("doc:1", "ent:2", None),
+        ("doc:2", "ent:2", None),
+    ]
+
+
+def test_optional_group_over_nullable_shared_var(spark):
+    """An OPTIONAL group sharing a possibly-unbound variable with the
+    solution takes the compat form of the left join: the unbound ?t
+    matches every group row and the merged binding is the group's."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _kg(spark),
+        """SELECT ?d ?e ?t ?nm WHERE {
+             ?d mentions ?e . OPTIONAL { ?e nosuchpred ?t }
+             OPTIONAL { ?p "@type" ?t . ?p name ?nm } }
+           ORDER BY ?d ?e ?t""",
+    ).collect()
+    assert [(r.d, r.e, r.t, r.nm) for r in rows] == [
+        ("doc:1", "ent:1", "Person", "Ada"),
+        ("doc:1", "ent:1", "Place", "Paris"),
+        ("doc:1", "ent:2", "Person", "Ada"),
+        ("doc:1", "ent:2", "Place", "Paris"),
+        ("doc:2", "ent:2", "Person", "Ada"),
+        ("doc:2", "ent:2", "Place", "Paris"),
+    ]
+
+
+def test_optional_group_no_shared_var_raises(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    with _pt.raises(ValueError, match="OPTIONAL group"):
+        sparql_query(
+            _kg(spark),
+            "SELECT ?d WHERE { ?d mentions ?e "
+            "OPTIONAL { ?x tag ?y . ?y tag2 ?z } }",
+        )
