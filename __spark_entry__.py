@@ -309,6 +309,36 @@ def _triples_from_linked(linked: DataFrame) -> DataFrame:
     return edges.unionByName(typing).unionByName(naming).dropDuplicates()
 
 
+def _quads_from_linked(linked: DataFrame) -> DataFrame:
+    """Named-graph quad unfold: the same E3 triple shape as
+    _triples_from_linked, but every triple keeps its ASSERTING document
+    as the graph column — real provenance (each edge/@type/name triple
+    is produced by one linked mention in one doc), and the input shape
+    for sparql_query's GRAPH clause (graph_col=\"graph\").  Note the
+    name quads are per-graph: the alias asserted in THAT document."""
+    pred = (
+        F.when(F.col("entity_type") == "Person", F.lit("mentions"))
+        .when(F.col("entity_type") == "Place", F.lit("locations"))
+        .when(F.col("entity_type") == "Event", F.lit("events"))
+        .otherwise(F.lit("about"))
+    )
+    g = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    ent = F.concat(F.lit("ent:"), F.col("entity_id"))
+    edges = linked.select(
+        g.alias("graph"), g.alias("subj"), pred.alias("pred"),
+        ent.alias("obj"),
+    )
+    typing = linked.select(
+        g.alias("graph"), ent.alias("subj"), F.lit("@type").alias("pred"),
+        F.col("entity_type").alias("obj"),
+    )
+    naming = linked.select(
+        g.alias("graph"), ent.alias("subj"), F.lit("name").alias("pred"),
+        F.col("alias").alias("obj"),
+    )
+    return edges.unionByName(typing).unionByName(naming).dropDuplicates()
+
+
 def q_entity_triples(spark, sf_dir):
     return _triples_from_linked(q_link_topk(spark, sf_dir))
 
@@ -1188,7 +1218,15 @@ def q_graph_suite(spark, sf_dir):
     sparql_exists_unbound: rows where the spec answer differs from a
     naive NULL-keyed equi-join — see the inline comments).  Legs tagged
     (fn, key, out); ints ride as strings (formatting-exact);
-    clustering rides 1e6-scaled."""
+    clustering rides 1e6-scaled.
+
+    r5-finale legs: sparql_filterfns (FILTER CONTAINS/STRSTARTS/
+    STRENDS, ?v IN (...), scalar-expression comparisons, and the
+    SUBSTR/REPLACE/IF/FLOOR scalar functions — kgc.graph._compile_
+    scalar/_compile_filter) and sparql_graph (the GRAPH clause over
+    the provenance quad table from _quads_from_linked: ?g binds the
+    asserting document and both block patterns join within one
+    graph)."""
     # ONE persisted entity-triple table feeds all six KG-consumer legs
     # (validate, bgp, ntriples, sparql_agg, construct — and the bgp
     # leg's five pattern scans): the link pipeline executes once, not
@@ -1196,7 +1234,8 @@ def q_graph_suite(spark, sf_dir):
     # Arrow-UDF subtree (Spark 4.1 re-clones the dedup'd subtree
     # otherwise) and is released by verify/bench via _kgc_pinned →
     # kgc.pipeline.release.
-    et = q_entity_triples(spark, sf_dir).persist()
+    linked = q_link_topk(spark, sf_dir).persist()
+    et = _triples_from_linked(linked).persist()
 
     closure = _leg(
         q_subclass_closure(spark, sf_dir), "closure",
@@ -1439,6 +1478,42 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("d"), F.col("e")),
         F.coalesce(F.col("ev"), F.lit("")),
     )
+    # r5-finale SPARQL surface: FILTER string tests / IN lists / scalar
+    # comparisons plus the SUBSTR/REPLACE/IF/FLOOR scalar functions
+    # (leg sparql_filterfns), and the GRAPH clause over the provenance
+    # quad table (leg sparql_graph: ?g binds the asserting document,
+    # and the name binding is the alias asserted IN that document —
+    # per-graph locality the flat triple table cannot express).
+    fns = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?e ?n ?s ?r ?tag ?h WHERE {
+                 ?e "@type" ?t . ?e name ?n .
+                 FILTER (?t IN ("Person", "Organization") &&
+                         CONTAINS(LCASE(?n), "a"))
+                 FILTER (STRLEN(?n) >= 6 || STRSTARTS(?n, "Z"))
+                 BIND (SUBSTR(?n, 1, 3) AS ?s)
+                 BIND (REPLACE(?n, "a", "_", "i") AS ?r)
+                 BIND (IF(STRENDS(?n, "s"), "plural-ish", "other") AS ?tag)
+                 BIND (FLOOR(STRLEN(?n) / 2) AS ?h) }""",
+        ),
+        "sparql_filterfns",
+        F.concat_ws("|", F.col("e"), F.col("n")),
+        F.concat_ws("|", F.col("s"), F.col("r"), F.col("tag"),
+                    F.col("h").cast("string")),
+    )
+    quads = _quads_from_linked(linked)
+    gleg = _leg(
+        sparql_query(
+            quads,
+            "SELECT DISTINCT ?g ?e ?n WHERE { "
+            "GRAPH ?g { ?d mentions ?e . ?e name ?n } }",
+            graph_col="graph",
+        ),
+        "sparql_graph",
+        F.concat_ws("|", F.col("g"), F.col("e")),
+        F.col("n"),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
@@ -1447,8 +1522,9 @@ def q_graph_suite(spark, sf_dir):
         .unionByName(diff).unionByName(path).unionByName(bind)
         .unionByName(nullcompat).unionByName(subq)
         .unionByName(minus_unb).unionByName(exists_unb)
+        .unionByName(fns).unionByName(gleg)
     )
-    out._kgc_pinned = [et]  # released by kgc.pipeline.release
+    out._kgc_pinned = [linked, et]  # released by kgc.pipeline.release
     return out
 
 
@@ -4357,7 +4433,30 @@ SELECT DISTINCT 'sparql_exists_unbound', m.subj || '|' || m.obj,
 FROM etrip m
 LEFT JOIN (SELECT subj, obj FROM etrip WHERE pred = 'events') ev
        ON ev.subj = m.subj
-WHERE m.pred = 'mentions'"""
+WHERE m.pred = 'mentions'
+UNION ALL
+-- r5 finale: FILTER string tests + IN + scalar cmp, SUBSTR/REPLACE/
+-- IF/FLOOR binds (regexp_replace 'g' = Spark's replace-all; (?i)
+-- inline flag matches the engine's flag folding)
+SELECT DISTINCT 'sparql_filterfns', t.subj || '|' || n.obj,
+       substr(n.obj, 1, 3) || '|' ||
+       regexp_replace(n.obj, '(?i)a', '_', 'g') || '|' ||
+       (CASE WHEN n.obj LIKE '%s' THEN 'plural-ish' ELSE 'other' END)
+       || '|' || floor(length(n.obj) / 2)::BIGINT::VARCHAR
+FROM etrip t
+JOIN etrip n ON n.subj = t.subj AND n.pred = 'name'
+WHERE t.pred = '@type' AND t.obj IN ('Person', 'Organization')
+  AND contains(lower(n.obj), 'a')
+  AND (length(n.obj) >= 6 OR n.obj LIKE 'Z%')
+UNION ALL
+-- r5 finale GRAPH clause: within one asserting document's graph, the
+-- mentions edge (Person entities) pairs only with names asserted by
+-- the SAME document — the per-graph join the quad table exists for
+SELECT DISTINCT 'sparql_graph',
+       'doc:' || m.doc_id || '|' || 'ent:' || m.entity_id, n.alias
+FROM top m
+JOIN top n ON n.doc_id = m.doc_id AND n.entity_id = m.entity_id
+WHERE m.entity_type = 'Person'"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

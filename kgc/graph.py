@@ -414,11 +414,16 @@ def bgp_query(
         return isinstance(t, str) and t.startswith("?")
 
     def compile_leg(pat):
-        s, p, o = pat
+        s, p, o = pat[:3]
         leg = triples
         n_consts = 0
         cols, seen = [], {}
-        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+        slots = [(s, "subj"), (p, "pred"), (o, "obj")]
+        if len(pat) == 4:
+            # quad pattern (from a GRAPH block): the 4th term binds or
+            # filters the reserved provenance column
+            slots.append((pat[3], _GRAPH_COL))
+        for term, col in slots:
             if is_var(term):
                 name = term[1:]
                 if not name:
@@ -490,8 +495,12 @@ def bgp_query(
 #   WHERE { tp . tp ...
 #           [OPTIONAL { tp ... }]
 #           [FILTER (bool-expr)]      — &&, ||, !, parens over
-#             (?x op term) | regex(?x, "pat"[, "i"]) | [!]bound(?x)
+#             (?x op term) | (scalar op scalar) | ?v [NOT] IN (t, ...)
+#             | CONTAINS/STRSTARTS/STRENDS(s, t)
+#             | regex(?x, "pat"[, "i"]) | [!]bound(?x)
 #           [BIND (expr AS ?v)]
+#           [GRAPH (?g | <iri>) { tp ... }]  — named-graph scope over
+#             the quad table's provenance column (graph_col)
 #           [{ tp ... } UNION { tp ... } [UNION ...]]
 #           [MINUS { tp ... }]
 #           [VALUES ?v { t ... } | VALUES (?a ?b) { (t t) ... }]
@@ -502,7 +511,8 @@ def bgp_query(
 #
 # expr (BIND / SELECT expressions) is the scalar subset a KG consumer
 # renames and derives with: ?v, "literal", numbers, + - * / (double
-# arithmetic), CONCAT, STR, STRLEN, UCASE, LCASE, COALESCE — compiled
+# arithmetic), CONCAT, STR, STRLEN, UCASE, LCASE, COALESCE, SUBSTR,
+# REPLACE, ABS, ROUND, FLOOR, CEIL, IF(test, then, else) — compiled
 # to plain Catalyst Columns (_compile_scalar), zero UDFs.
 #
 # plus the property-path forms that matter for RDFS-style KGs: a
@@ -534,8 +544,8 @@ _SPARQL_TOKEN = re.compile(
     r"""\?[A-Za-z_]\w*      # variable
       | <[^>]*>[+*]?        # IRI ref, optional +/* path
       | "(?:[^"\\]|\\.)*"   # quoted literal
-      | [{}().]             # punctuation
-      | [^\s{}()."]+        # bare term / keyword
+      | [{}(),.]            # punctuation (comma separates arg/IN lists)
+      | [^\s{}(),."]+       # bare term / keyword
     """,
     re.VERBOSE,
 )
@@ -543,8 +553,20 @@ _SPARQL_TOKEN = re.compile(
 _FILTER_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
 # scalar functions accepted in BIND / SELECT expressions — each maps
-# onto a single built-in Catalyst function (no UDFs anywhere)
-_SCALAR_FNS = {"CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "COALESCE"}
+# onto a single built-in Catalyst function (no UDFs anywhere).  IF is
+# parsed separately (its first argument is a boolean expression from
+# the FILTER grammar, not a scalar).
+_SCALAR_FNS = {
+    "CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "COALESCE",
+    "SUBSTR", "REPLACE", "ABS", "ROUND", "FLOOR", "CEIL",
+}
+
+# string-test builtins — boolean atoms in the FILTER grammar (and in
+# IF conditions), each one Catalyst predicate
+_STRTEST_FNS = {"CONTAINS", "STRSTARTS", "STRENDS"}
+
+# reserved provenance column bgp_query reads for quad (GRAPH) patterns
+_GRAPH_COL = "__g"
 
 
 def _compile_scalar(ast):
@@ -566,6 +588,15 @@ def _compile_scalar(ast):
         lc = _compile_scalar(left).cast("double")
         rc = _compile_scalar(right).cast("double")
         return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+    if kind == "if":
+        # IF(test, then, else) — the test is a boolean AST from the
+        # FILTER grammar; SPARQL's error → unbound maps onto Spark's
+        # NULL condition falling through to the else branch... which
+        # is NOT the spec (error propagates); we take the SQL CASE
+        # reading, deterministic and loud in the docstring.
+        return F.when(
+            _compile_filter(ast[1]), _compile_scalar(ast[2])
+        ).otherwise(_compile_scalar(ast[3]))
     _, fn, args = ast
     cols = [_compile_scalar(a) for a in args]
     if fn == "CONCAT":
@@ -582,6 +613,43 @@ def _compile_scalar(ast):
     if fn == "LCASE":
         _need_args(fn, cols, 1)
         return F.lower(cols[0].cast("string"))
+    if fn == "SUBSTR":
+        # SPARQL/SQL 1-based start; optional length
+        if len(cols) not in (2, 3):
+            raise ValueError(f"SUBSTR takes 2 or 3 arguments, got {len(cols)}")
+        s = cols[0].cast("string")
+        start = cols[1].cast("int")
+        length = cols[2].cast("int") if len(cols) == 3 else F.lit(2147483647)
+        return s.substr(start, length)
+    if fn == "REPLACE":
+        # REPLACE(s, regex, replacement[, flags]) — flags subset "i";
+        # the flags form needs literal pattern/flags (they fold into
+        # the compiled pattern)
+        if len(cols) not in (3, 4):
+            raise ValueError(f"REPLACE takes 3 or 4 arguments, got {len(cols)}")
+        s = cols[0].cast("string")
+        if len(cols) == 4:
+            if args[1][0] != "lit" or args[3][0] != "lit":
+                raise ValueError(
+                    "REPLACE with flags needs literal pattern and flags"
+                )
+            pat = args[1][1]
+            if "i" in args[3][1]:
+                pat = "(?i)" + pat
+            return F.regexp_replace(s, pat, cols[2].cast("string"))
+        return F.regexp_replace(s, cols[1].cast("string"), cols[2].cast("string"))
+    if fn == "ABS":
+        _need_args(fn, cols, 1)
+        return F.abs(cols[0].cast("double"))
+    if fn == "ROUND":
+        _need_args(fn, cols, 1)
+        return F.round(cols[0].cast("double"), 0)
+    if fn == "FLOOR":
+        _need_args(fn, cols, 1)
+        return F.floor(cols[0].cast("double"))
+    if fn == "CEIL":
+        _need_args(fn, cols, 1)
+        return F.ceil(cols[0].cast("double"))
     # COALESCE — SPARQL's unbound-fallback; argument types are the
     # caller's contract (mixed types coerce per Spark rules)
     return F.coalesce(*cols)
@@ -653,9 +721,9 @@ def parse_sparql(text: str) -> dict:
         return t
 
     def is_term(t):
-        return t is not None and t not in "{}()." and t.upper() not in (
+        return t is not None and t not in "{}(),." and t.upper() not in (
             "OPTIONAL", "FILTER", "WHERE", "LIMIT", "ORDER", "BY",
-            "UNION", "MINUS", "VALUES", "UNDEF", "BIND",
+            "UNION", "MINUS", "VALUES", "UNDEF", "BIND", "GRAPH",
         )
 
     def triple_block():
@@ -727,6 +795,21 @@ def parse_sparql(text: str) -> dict:
                 return e
             if t.startswith("?"):
                 return ("var", take()[1:])
+            if t.upper() == "IF":
+                # IF(test, then, else) — test is a boolean expression
+                # (the FILTER grammar incl. CONTAINS/STRSTARTS/...);
+                # then/else are scalars
+                take()
+                take("(")
+                cond = filter_or()
+                if take() != ",":
+                    raise ValueError("IF(test, then, else) needs commas")
+                then = additive()
+                if take() != ",":
+                    raise ValueError("IF(test, then, else) needs commas")
+                els = additive()
+                take(")")
+                return ("if", cond, then, els)
             if t.upper() in _SCALAR_FNS:
                 fn = take().upper()
                 take("(")
@@ -761,6 +844,137 @@ def parse_sparql(text: str) -> dict:
             return e
 
         return additive()
+
+    # boolean (FILTER) grammar — defined before the SELECT clause is
+    # parsed because scalar_expr's IF(test, ...) recurses into it
+    def filter_atom():
+        head = peek()
+        up = head.upper() if head is not None else ""
+        if up in ("REGEX", "BOUND", "!BOUND"):
+            fn = take().upper()
+            take("(")
+            var = take()
+            if not var.startswith("?"):
+                raise ValueError(f"{fn} needs a ?var, got {var!r}")
+            if fn == "REGEX":
+                if take() != ",":
+                    raise ValueError("regex(?v, \"pat\") needs a comma")
+                pat = _sparql_unquote(take())
+                flags = ""
+                if peek() == ",":
+                    take()
+                    flags = _sparql_unquote(take())
+                take(")")
+                return ("regex", var[1:], pat, flags)
+            take(")")
+            return ("bound", var[1:], fn == "BOUND")
+        if up in _STRTEST_FNS:
+            # CONTAINS / STRSTARTS / STRENDS (expr, expr) — boolean
+            # string-test atoms, one Catalyst predicate each
+            fn = take().upper()
+            take("(")
+            a = scalar_expr()
+            if take() != ",":
+                raise ValueError(f"{fn}(s, t) needs a comma")
+            b = scalar_expr()
+            take(")")
+            return ("strtest", fn, a, b)
+        if up in _SCALAR_FNS or up == "IF" or head == "(":
+            # scalar-expression comparison: STRLEN(?n) > 5,
+            # (?a + 1) = 2 — both sides full scalar expressions
+            lhs = scalar_expr()
+            op = take()
+            if op not in _FILTER_OPS:
+                raise ValueError(f"unsupported FILTER operator {op!r}")
+            return ("cmp2", lhs, op, scalar_expr())
+        if (
+            head is not None and head.startswith("?")
+            and pos + 1 < len(toks)
+            and toks[pos + 1].upper() in ("IN", "NOT")
+        ):
+            # ?v IN (t, ...) / ?v NOT IN (t, ...)
+            var = take()
+            positive = True
+            if peek() is not None and peek().upper() == "NOT":
+                take()
+                positive = False
+            take("IN")
+            take("(")
+            items = []
+            while peek() is not None and peek() != ")":
+                items.append(_sparql_unquote(take()))
+                if peek() == ",":
+                    take()
+            take(")")
+            if not items:
+                raise ValueError("IN needs at least one term")
+            return ("in", var[1:], items, positive)
+        lhs = _sparql_unquote(take())
+        op = take()
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported FILTER operator {op!r}")
+        nxt = peek()
+        if nxt is not None and (
+            nxt.upper() in _SCALAR_FNS or nxt.upper() == "IF" or nxt == "("
+        ):
+            l_ast = ("var", lhs[1:]) if lhs.startswith("?") else ("lit", lhs)
+            return ("cmp2", l_ast, op, scalar_expr())
+        rhs = _sparql_unquote(take())
+        return ("cmp", lhs, op, rhs)
+
+    def filter_unary():
+        nonlocal pos
+        t = peek()
+        if t == "!":
+            # negation of a parenthesized group: !( expr ).  A bare
+            # !bound(?v) tokenizes as one "!BOUND" token and is an atom.
+            take()
+            take("(")
+            e = filter_or()
+            take(")")
+            return ("not", e)
+        if t == "(":
+            # ambiguous: a boolean group "(?a > 1 && ...)" vs a
+            # parenthesized scalar comparison "(?a + 1) > 2".  Try the
+            # boolean parse; on failure rewind and parse the scalar
+            # form (whose own error propagates if both readings fail).
+            saved = pos
+            try:
+                take()
+                e = filter_or()
+                take(")")
+                return e
+            except ValueError:
+                pos = saved
+                return filter_atom()
+        return filter_atom()
+
+    def filter_and():
+        e = filter_unary()
+        while peek() == "&&":
+            take()
+            e = ("and", e, filter_unary())
+        return e
+
+    def filter_or():
+        e = filter_and()
+        while peek() == "||":
+            take()
+            e = ("or", e, filter_and())
+        return e
+
+    def filter_expr():
+        # FILTER ( bool-expr ): &&, ||, !(...), parens over the atoms
+        # (?x op term) | (scalar op scalar) | CONTAINS/STRSTARTS/
+        # STRENDS(s, t) | ?v [NOT] IN (...) | regex(?x, "pat"[, flags])
+        # | [!]bound(?x) — compiled by _apply_filters into one Catalyst
+        # predicate per FILTER.  Spark's 3-valued logic matches
+        # SPARQL's error-propagation through && / || / ! exactly
+        # (NULL-valued conditions drop the row).
+        take("(")
+        e = filter_or()
+        take(")")
+        return e
 
     take("SELECT")
     distinct = peek() is not None and peek().upper() == "DISTINCT"
@@ -843,76 +1057,6 @@ def parse_sparql(text: str) -> dict:
                 )
             take("}")
         return vars_, rows
-
-    def filter_atom():
-        head = peek()
-        if head is not None and head.upper() in ("REGEX", "BOUND", "!BOUND"):
-            fn = take().upper()
-            take("(")
-            var = take()
-            if not var.startswith("?"):
-                raise ValueError(f"{fn} needs a ?var, got {var!r}")
-            if fn == "REGEX":
-                if take() != ",":
-                    raise ValueError("regex(?v, \"pat\") needs a comma")
-                pat = _sparql_unquote(take())
-                flags = ""
-                if peek() == ",":
-                    take()
-                    flags = _sparql_unquote(take())
-                take(")")
-                return ("regex", var[1:], pat, flags)
-            take(")")
-            return ("bound", var[1:], fn == "BOUND")
-        lhs = _sparql_unquote(take())
-        op = take()
-        if op not in _FILTER_OPS:
-            raise ValueError(f"unsupported FILTER operator {op!r}")
-        rhs = _sparql_unquote(take())
-        return ("cmp", lhs, op, rhs)
-
-    def filter_unary():
-        t = peek()
-        if t == "!":
-            # negation of a parenthesized group: !( expr ).  A bare
-            # !bound(?v) tokenizes as one "!BOUND" token and is an atom.
-            take()
-            take("(")
-            e = filter_or()
-            take(")")
-            return ("not", e)
-        if t == "(":
-            take()
-            e = filter_or()
-            take(")")
-            return e
-        return filter_atom()
-
-    def filter_and():
-        e = filter_unary()
-        while peek() == "&&":
-            take()
-            e = ("and", e, filter_unary())
-        return e
-
-    def filter_or():
-        e = filter_and()
-        while peek() == "||":
-            take()
-            e = ("or", e, filter_and())
-        return e
-
-    def filter_expr():
-        # FILTER ( bool-expr ): &&, ||, !(...), parens over the atoms
-        # (?x op term) | regex(?x, "pat"[, flags]) | [!]bound(?x) —
-        # compiled by _apply_filters into one Catalyst predicate per
-        # FILTER.  Spark's 3-valued logic matches SPARQL's
-        # error-propagation through && / || / ! exactly (NULL-valued
-        # conditions drop the row).
-        take("(")
-        e = filter_or()
-        take(")")
-        return e
 
     while peek() != "}":
         t = peek()
@@ -998,6 +1142,34 @@ def parse_sparql(text: str) -> dict:
                 raise ValueError(f"BIND ... AS needs a ?var, got {v!r}")
             take(")")
             binds.append((v[1:], ast))
+        elif t.upper() == "GRAPH":
+            # GRAPH (?g | <iri>) { tp ... } — named-graph scope: every
+            # pattern in the block additionally binds/filters the quad
+            # table's provenance column (sparql_query's graph_col).
+            # Patterns become 4-tuples (s, p, o, g); sequence paths
+            # rewrite as usual and each step stays in the same graph
+            # (per spec); closure/alternation path forms are outside
+            # the GRAPH subset (a closure computed globally would leak
+            # edges across graphs) and fail loudly.
+            take()
+            g_raw = take()
+            gterm = _sparql_unquote(g_raw)
+            if gterm.startswith("?__seq"):
+                raise ValueError(
+                    f"variable name {gterm!r} uses the reserved __seq prefix"
+                )
+            blk = braced_block()
+            if not blk:
+                raise ValueError("empty GRAPH group")
+            for s, p, o in blk:
+                if p.startswith("?"):
+                    pass  # variable predicate is fine
+                elif p[-1:] in "+*?" or p[:1] in "^!" or "|" in p:
+                    raise ValueError(
+                        f"property path {p!r} inside GRAPH is outside "
+                        "the subset (plain and sequence paths only)"
+                    )
+                patterns.append((s, p, o, gterm))
         else:
             got = triple_block()
             if not got:
@@ -1039,6 +1211,12 @@ def parse_sparql(text: str) -> dict:
     }
 
 
+def _union_pad(a: DataFrame, b: DataFrame) -> DataFrame:
+    """unionByName padding absent columns NULL — the quad provenance
+    column on derived path edges (see _expand_property_paths)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def _expand_property_paths(
     triples: DataFrame, patterns: list, optional: list
 ) -> DataFrame:
@@ -1069,10 +1247,18 @@ def _expand_property_paths(
     One closure computation per distinct path predicate; closure
     subgraphs are tiny relative to the fact table (one predicate's
     edges), so each union costs a scan, not a shuffle."""
-    orig = triples.select("subj", "pred", "obj")
+    base_cols = ["subj", "pred", "obj"]
+    if any(len(pat) > 3 for pat in (*patterns, *optional)):
+        # quad (GRAPH) patterns join on the provenance column too; the
+        # derived path-edge unions below pad it NULL (path forms are
+        # rejected inside GRAPH blocks, so no quad leg ever reads a
+        # padded row)
+        base_cols.append(_GRAPH_COL)
+    orig = triples.select(*base_cols)
     plus_preds, star_preds, alt_preds = set(), set(), set()
     opt_preds, inv_preds, neg_preds = set(), set(), set()
-    for _, p, _ in (*patterns, *optional):
+    for pat in (*patterns, *optional):
+        p = pat[1]
         if p.startswith("?"):
             continue
         if p.startswith("!"):
@@ -1095,7 +1281,7 @@ def _expand_property_paths(
         )
         clo = transitive_closure(edges).select("src", "dst")
         if base in plus_preds:
-            src = src.unionByName(
+            src = _union_pad(src,
                 clo.select(
                     F.col("src").alias("subj"),
                     F.lit(base + "+").alias("pred"),
@@ -1119,14 +1305,14 @@ def _expand_property_paths(
                     F.col("subj").alias("obj"),
                 )
             )
-            src = src.unionByName(star)
+            src = src.unionByName(star, allowMissingColumns=True)
     for base in sorted(inv_preds):
         if base.startswith("^") or base.endswith(("+", "*", "?")):
             raise ValueError(
                 f"unsupported property path ^{base!r} (inverse does not "
                 "nest with other path forms)"
             )
-        src = src.unionByName(
+        src = _union_pad(src,
             orig.filter(F.col("pred") == base).select(
                 F.col("obj").alias("subj"),
                 F.lit("^" + base).alias("pred"),
@@ -1139,7 +1325,7 @@ def _expand_property_paths(
             .unionByName(orig.select(F.col("obj").alias("subj")))
             .distinct()
         )
-        src = src.unionByName(
+        src = _union_pad(src,
             orig.filter(F.col("pred") == base).select(
                 "subj", F.lit(base + "?").alias("pred"), "obj"
             ).unionByName(
@@ -1160,7 +1346,7 @@ def _expand_property_paths(
                 f"unsupported property path {alt!r} (alternation does "
                 "not nest with +/*/?/^)"
             )
-        src = src.unionByName(
+        src = _union_pad(src,
             orig.filter(F.col("pred").isin(parts)).select(
                 "subj", F.lit(alt).alias("pred"), "obj"
             )
@@ -1177,7 +1363,7 @@ def _expand_property_paths(
             )
         # SPARQL negated property set: any edge whose predicate is NOT
         # in the set — a pushed NOT IN scan, zero extra shuffles
-        src = src.unionByName(
+        src = _union_pad(src,
             orig.filter(~F.col("pred").isin(parts)).select(
                 "subj", F.lit(neg).alias("pred"), "obj"
             )
@@ -1207,6 +1393,32 @@ def _compile_filter(f):
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
         }[op]
+    if tag == "cmp2":
+        # scalar-expression comparison — operand types follow the
+        # expressions (arithmetic is double, string fns string; mixed
+        # sides coerce per Spark rules)
+        _, lhs, op, rhs = f
+        lc, rc = _compile_scalar(lhs), _compile_scalar(rhs)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+        }[op]
+    if tag == "strtest":
+        _, fn, lhs, rhs = f
+        lc = _compile_scalar(lhs).cast("string")
+        rc = _compile_scalar(rhs).cast("string")
+        return {
+            "CONTAINS": lc.contains(rc),
+            "STRSTARTS": lc.startswith(rc),
+            "STRENDS": lc.endswith(rc),
+        }[fn]
+    if tag == "in":
+        # [NOT] IN — Catalyst In(...) over query-text constants; an
+        # unbound (NULL) ?v yields NULL either way and the row drops,
+        # matching SPARQL's error-propagation for both polarities
+        _, var, items, positive = f
+        c = F.col(var).isin(items)
+        return c if positive else ~c
     if tag == "regex":
         _, var, pat, flags = f
         if "i" in flags:
@@ -1319,6 +1531,18 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         all_pats.extend(m)
     for _, e in q["exists"]:
         all_pats.extend(e)
+    if any(len(pat) > 3 for pat in all_pats):
+        # GRAPH (quad) patterns: expose the caller-named provenance
+        # column under the reserved name the quad legs read
+        graph_col = bgp_kwargs.pop("graph_col", "doc_id")
+        if graph_col not in triples.columns:
+            raise ValueError(
+                f"GRAPH needs a quad table with a {graph_col!r} column "
+                "(pass graph_col= to name the provenance column)"
+            )
+        triples = triples.withColumn(_GRAPH_COL, F.col(graph_col))
+    else:
+        bgp_kwargs.pop("graph_col", None)
     src = _expand_property_paths(triples, all_pats, [])
 
     # ``nullable`` tracks which solution columns may hold a NULL
@@ -1606,7 +1830,28 @@ def _scalar_vars(ast) -> set[str]:
         for a in ast[2]:
             out |= _scalar_vars(a)
         return out
+    if kind == "if":
+        return (
+            _filter_vars(ast[1]) | _scalar_vars(ast[2]) | _scalar_vars(ast[3])
+        )
     return set()
+
+
+def _filter_vars(f) -> set[str]:
+    """Variables referenced by a boolean (FILTER) AST."""
+    tag = f[0]
+    if tag in ("and", "or"):
+        return _filter_vars(f[1]) | _filter_vars(f[2])
+    if tag == "not":
+        return _filter_vars(f[1])
+    if tag == "cmp":
+        return {t[1:] for t in (f[1], f[3]) if t.startswith("?")}
+    if tag == "cmp2":
+        return _scalar_vars(f[1]) | _scalar_vars(f[3])
+    if tag == "strtest":
+        return _scalar_vars(f[2]) | _scalar_vars(f[3])
+    # ("regex", var, ...), ("bound", var, ...), ("in", var, ...)
+    return {f[1]}
 
 
 def _finish_select(
@@ -1668,7 +1913,15 @@ def sparql_query(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     group algebra (_solve_where: BGP joins + UNION/VALUES/MINUS/
     subqueries + FILTER) → projection/ORDER/LIMIT as plain Catalyst
     ops.  ORDER BY is required for a deterministic LIMIT and that
-    contract is the caller's (same as SQL)."""
+    contract is the caller's (same as SQL).
+
+    ``GRAPH (?g | <iri>) { ... }`` runs the block against the quad
+    reading of the table: every pattern additionally binds/filters the
+    provenance column named by ``graph_col`` (default ``doc_id`` — the
+    engine's asserting-document lineage).  Pass a quad table (one row
+    per graph×triple) for named-graph semantics; the column becomes an
+    ordinary join key, so a constant graph pushes into the scan and a
+    ?g variable rides the equi-joins like any other binding."""
     q = parse_sparql(text)
     out, nullable = _solve_where(triples, q, **bgp_kwargs)
     return _finish_select(out, q, nullable)[0]

@@ -1532,3 +1532,200 @@ def test_optional_group_no_shared_var_raises(spark):
             "SELECT ?d WHERE { ?d mentions ?e "
             "OPTIONAL { ?x tag ?y . ?y tag2 ?z } }",
         )
+
+
+# ---- round-5 finale surface: scalar/string filter fns, IN, IF, GRAPH ----
+
+
+def _quads(spark):
+    """Named-graph quad table: graph = asserting document (the
+    engine's doc_id lineage — every triple a linked mention produces is
+    asserted BY a document)."""
+    rows = [
+        ("d1", "doc:1", "mentions", "ent:1", "node"),
+        ("d1", "ent:1", "@type", "Person", "literal"),
+        ("d1", "ent:1", "name", "Ada", "literal"),
+        ("d2", "doc:2", "mentions", "ent:1", "node"),
+        ("d2", "ent:1", "@type", "Person", "literal"),
+        ("d2", "ent:1", "name", "Ada", "literal"),
+        ("d2", "doc:2", "events", "ent:3", "node"),
+        ("d2", "ent:3", "@type", "Event", "literal"),
+        ("d2", "ent:3", "name", "Gala", "literal"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, subj string, pred string, obj string, "
+        "obj_type string"
+    )
+
+
+def test_sparql_filter_string_tests_and_strlen_cmp(spark):
+    """CONTAINS/STRSTARTS/STRENDS atoms and scalar-expression
+    comparisons (STRLEN(?n) > k) — the FILTER forms VERDICT r4 ranked
+    as the everyday consumer surface."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?n WHERE { ?e name ?n '
+        'FILTER (CONTAINS(?n, "a") && STRLEN(?n) >= 4) } ORDER BY ?n',
+    ).collect()
+    assert [r.n for r in rows] == ["Paris"]
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?n WHERE { ?e name ?n '
+        'FILTER (STRSTARTS(?n, "A") || STRENDS(?n, "is")) } ORDER BY ?n',
+    ).collect()
+    assert [r.n for r in rows] == ["Ada", "Paris"]
+    # parenthesized scalar on the left — the backtracking disambiguation
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?n WHERE { ?e name ?n "
+        "FILTER ((STRLEN(?n) + 1) = 4) }",
+    ).collect()
+    assert [r.n for r in rows] == ["Ada"]
+
+
+def test_sparql_filter_in_notin(spark):
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e "@type" ?t '
+        'FILTER (?t IN ("Person", "Event")) }',
+    ).collect()
+    assert [r.e for r in rows] == ["ent:1"]
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e WHERE { ?e "@type" ?t '
+        'FILTER (?t NOT IN ("Person", "Event")) }',
+    ).collect()
+    assert [r.e for r in rows] == ["ent:2"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="IN needs"):
+        sparql_query(kg, 'SELECT ?e WHERE { ?e "@type" ?t FILTER (?t IN ()) }')
+
+
+def test_sparql_scalar_fns_substr_replace_numeric_if(spark):
+    """SUBSTR (1-based), REPLACE (regex + "i" flag), FLOOR/CEIL/ABS/
+    ROUND over STRLEN-derived doubles, and IF with a boolean test."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT ?n ?s ?r ?f ?c ?tag WHERE { ?e name ?n . '
+        'BIND (SUBSTR(?n, 2, 3) AS ?s) '
+        'BIND (REPLACE(?n, "A", "_", "i") AS ?r) '
+        'BIND (FLOOR(STRLEN(?n) / 2) AS ?f) '
+        'BIND (CEIL(STRLEN(?n) / 2) AS ?c) '
+        'BIND (IF(CONTAINS(?n, "i"), "dotted", "plain") AS ?tag) } '
+        "ORDER BY ?n",
+    ).collect()
+    assert [(r.n, r.s, r.r, r.f, r.c, r.tag) for r in rows] == [
+        ("Ada", "da", "_d_", 1, 2, "plain"),
+        ("Paris", "ari", "P_ris", 2, 3, "dotted"),
+    ]
+    rows = sparql_query(
+        kg,
+        "SELECT ?n (ABS(2 - STRLEN(?n)) AS ?d) (ROUND(STRLEN(?n) / 2) AS ?h) "
+        "WHERE { ?e name ?n } ORDER BY ?n",
+    ).collect()
+    assert [(r.n, r.d, r.h) for r in rows] == [
+        ("Ada", 1.0, 2.0), ("Paris", 3.0, 3.0),
+    ]
+
+
+def test_sparql_scalar_fn_arity_loud(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    with _pt.raises(ValueError, match="SUBSTR takes"):
+        sparql_query(
+            kg, "SELECT ?s WHERE { ?e name ?n BIND (SUBSTR(?n) AS ?s) }"
+        ).collect()
+    with _pt.raises(ValueError, match="REPLACE takes"):
+        sparql_query(
+            kg, 'SELECT ?s WHERE { ?e name ?n BIND (REPLACE(?n) AS ?s) }'
+        ).collect()
+    with _pt.raises(ValueError, match="literal pattern"):
+        sparql_query(
+            kg,
+            'SELECT ?s WHERE { ?e name ?n BIND (REPLACE(?n, ?n, "x", "i") AS ?s) }',
+        ).collect()
+
+
+def test_sparql_graph_variable_binds_provenance(spark):
+    """GRAPH ?g { ... } over the quad table: ?g rides the equi-joins
+    like any binding, and both block patterns are constrained to the
+    SAME graph (d1 never pairs with d2's assertions)."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _quads(spark),
+        "SELECT DISTINCT ?g ?e ?n WHERE { "
+        "GRAPH ?g { ?d mentions ?e . ?e name ?n } } ORDER BY ?g",
+    ).collect()
+    assert [(r.g, r.e, r.n) for r in rows] == [
+        ("d1", "ent:1", "Ada"), ("d2", "ent:1", "Ada"),
+    ]
+
+
+def test_sparql_graph_constant_pushes_into_scan(spark):
+    from kgc.graph import sparql_query
+
+    out = sparql_query(
+        _quads(spark),
+        'SELECT DISTINCT ?e WHERE { GRAPH "d2" { ?d events ?e } }',
+    )
+    assert [r.e for r in out.collect()] == ["ent:3"]
+    # the constant graph must appear as a pushed filter, not a join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "d2" in plan
+
+
+def test_sparql_graph_mixes_with_default_graph_patterns(spark):
+    """A GRAPH block joins the default-graph patterns on shared vars —
+    the provenance drill-down a consumer writes after a normal query."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _quads(spark),
+        'SELECT DISTINCT ?g WHERE { '
+        '?e "@type" "Event" . GRAPH ?g { ?d events ?e } }',
+    ).collect()
+    assert [r.g for r in rows] == ["d2"]
+
+
+def test_sparql_graph_loud_failures(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    quads = _quads(spark)
+    with _pt.raises(ValueError, match="inside GRAPH"):
+        sparql_query(quads, "SELECT ?e WHERE { GRAPH ?g { ?d mentions+ ?e } }")
+    with _pt.raises(ValueError, match="quad table"):
+        sparql_query(_kg(spark), "SELECT ?e WHERE { GRAPH ?g { ?d mentions ?e } }")
+    with _pt.raises(ValueError, match="empty GRAPH"):
+        sparql_query(quads, "SELECT ?e WHERE { GRAPH ?g { } }")
+
+
+def test_sparql_graph_sequence_path_stays_in_graph(spark):
+    """A sequence path inside GRAPH rewrites to a chain whose every
+    step carries the block's graph term (spec: paths evaluate within
+    the named graph)."""
+    from kgc.graph import parse_sparql, sparql_query
+
+    q = parse_sparql("SELECT ?g ?n WHERE { GRAPH ?g { ?d mentions/name ?n } }")
+    assert all(len(p) == 4 and p[3] == "?g" for p in q["patterns"])
+    rows = sparql_query(
+        _quads(spark),
+        "SELECT DISTINCT ?g ?n WHERE { GRAPH ?g { ?d mentions/name ?n } } "
+        "ORDER BY ?g",
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [("d1", "Ada"), ("d2", "Ada")]
