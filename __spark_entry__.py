@@ -1514,6 +1514,25 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("g"), F.col("e")),
         F.col("n"),
     )
+    # grouped property path (p/q)+ over the real schema.org class DAG:
+    # the composed subClassOf∘subClassOf edge set closed by path
+    # doubling = every even-length ancestor chain — checked against
+    # the oracle's recursive closure restricted to even depths.
+    from kgc.vocab import load_schemaorg
+
+    types_df, _ = load_schemaorg(spark)
+    class_kg = types_df.filter(F.col("subclass_of").isNotNull()).select(
+        F.col("type_id").alias("subj"), F.lit("subClassOf").alias("pred"),
+        F.col("subclass_of").alias("obj"),
+    )
+    grouppath = _leg(
+        sparql_query(
+            class_kg,
+            "SELECT DISTINCT ?t ?a WHERE "
+            "{ ?t (subClassOf/subClassOf)+ ?a }",
+        ),
+        "sparql_grouppath", F.col("t"), F.col("a"),
+    )
     out = (
         closure.unionByName(cocite).unionByName(validate)
         .unionByName(tri).unionByName(bgp).unionByName(nt)
@@ -1522,7 +1541,7 @@ def q_graph_suite(spark, sf_dir):
         .unionByName(diff).unionByName(path).unionByName(bind)
         .unionByName(nullcompat).unionByName(subq)
         .unionByName(minus_unb).unionByName(exists_unb)
-        .unionByName(fns).unionByName(gleg)
+        .unionByName(fns).unionByName(gleg).unionByName(grouppath)
     )
     out._kgc_pinned = [linked, et]  # released by kgc.pipeline.release
     return out
@@ -4456,7 +4475,13 @@ SELECT DISTINCT 'sparql_graph',
        'doc:' || m.doc_id || '|' || 'ent:' || m.entity_id, n.alias
 FROM top m
 JOIN top n ON n.doc_id = m.doc_id AND n.entity_id = m.entity_id
-WHERE m.entity_type = 'Person'"""
+WHERE m.entity_type = 'Person'
+UNION ALL
+-- grouped path (subClassOf/subClassOf)+ = ancestors at EVEN depth in
+-- the recursive closure (every even-length chain decomposes into
+-- 2-step hops and vice versa)
+SELECT DISTINCT 'sparql_grouppath', type_id, ancestor_id
+FROM clo WHERE depth % 2 = 0"""
     )
 
     # exact-substring duplication stats (width-5 grams over the

@@ -533,7 +533,11 @@ def bgp_query(
 # shape bgp_query already plans — and each step may itself be any of
 # the single-step path forms (`mentions/name`, `^mentions/events`,
 # `subClassOf+/label`).  The `__seq` prefix is reserved; the
-# intermediate columns are dropped before projection.
+# intermediate columns are dropped before projection.  A GROUPED
+# sequence `(p/q)+` (also `*`, `?`) composes the sequence's edge set
+# by chaining per-step equi-joins and closes it with the same
+# path-doubling closure — bare-predicate steps, one trailing
+# modifier, no further nesting.
 #
 # No triple store, no dedicated engine: parse → bgp_query → Catalyst.
 # The reference emits the KG (internal/jsonld/converter.go:52-94) but
@@ -741,6 +745,28 @@ def parse_sparql(text: str) -> dict:
                 take("(")
                 p_raw = "!" + take()
                 take(")")
+            elif p_raw == "(":
+                # grouped property path (p/q)+ — tokenizes apart: fold
+                # into one "(p/q)+" predicate token; the path expander
+                # composes the sequence's edge set and closes it
+                inner = take()
+                take(")")
+                mod = peek()
+                if mod not in ("+", "*", "?"):
+                    raise ValueError(
+                        "grouped property path needs a +, * or ? modifier"
+                    )
+                take()
+                steps = inner.split("/")
+                if any(
+                    not st or st[-1] in "+*?" or st[0] in "^!<?" or "|" in st
+                    for st in steps
+                ):
+                    raise ValueError(
+                        f"unsupported grouped property path ({inner}){mod} "
+                        "(bare-predicate sequences only)"
+                    )
+                p_raw = f"({inner}){mod}"
             o_raw = take()
             s, o = _sparql_unquote(s_raw), _sparql_unquote(o_raw)
             for t in (s, o):
@@ -753,6 +779,7 @@ def parse_sparql(text: str) -> dict:
                 and not p_raw.startswith("<")
                 and not p_raw.startswith("?")
                 and not p_raw.startswith('"')
+                and not p_raw.startswith("(")
             ):
                 # sequence property path p/q[/r...] → a chain of
                 # patterns through fresh intermediate variables: the
@@ -1243,6 +1270,12 @@ def _expand_property_paths(
         whose predicate is NOT in the set — a pushed ``pred NOT IN
         (p, q)`` scan.  Forward bare predicates only (no ^ inside, per
         the same does-not-nest rule).
+      * ``(p/q)+`` / ``(p/q)*`` / ``(p/q)?`` (grouped sequence): the
+        sequence's composed edge set (chained per-step equi-joins)
+        closed by path doubling for ``+``/``*`` (identity added for
+        ``*``/``?``) — exact, because every path matching the closure
+        decomposes into whole (p/q) hops.  Bare-predicate steps, one
+        trailing modifier, no deeper nesting.
 
     One closure computation per distinct path predicate; closure
     subgraphs are tiny relative to the fact table (one predicate's
@@ -1257,11 +1290,14 @@ def _expand_property_paths(
     orig = triples.select(*base_cols)
     plus_preds, star_preds, alt_preds = set(), set(), set()
     opt_preds, inv_preds, neg_preds = set(), set(), set()
+    grp_specs: set[str] = set()
     for pat in (*patterns, *optional):
         p = pat[1]
         if p.startswith("?"):
             continue
-        if p.startswith("!"):
+        if p.startswith("("):
+            grp_specs.add(p)
+        elif p.startswith("!"):
             neg_preds.add(p)
         elif "|" in p:
             alt_preds.add(p)
@@ -1368,6 +1404,61 @@ def _expand_property_paths(
                 "subj", F.lit(neg).alias("pred"), "obj"
             )
         )
+    for spec in sorted(grp_specs):
+        # grouped path (p/q[/r...])+|*|? — compose the sequence's edge
+        # set by chaining per-step equi-joins (each step's edges are
+        # one predicate's slice of the fact table), then close it:
+        # every even-decomposable path is a chain of composed steps,
+        # so transitive_closure(E_pq) IS (p/q)+ exactly.
+        mod, inner = spec[-1], spec[1:-2]
+        steps = inner.split("/")
+        if mod not in "+*?" or not steps or any(
+            not st or st[-1] in "+*?^" or st[0] in "^!(?" or "|" in st
+            for st in steps
+        ):
+            raise ValueError(
+                f"unsupported grouped property path {spec!r} "
+                "(bare-predicate sequences with one trailing +/*/? only)"
+            )
+
+        def _step(pred):
+            return orig.filter(F.col("pred") == pred).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+
+        edges = _step(steps[0])
+        for st in steps[1:]:
+            nxt = (
+                _step(st)
+                .withColumnRenamed("src", "mid")
+                .withColumnRenamed("dst", "hop")
+            )
+            edges = (
+                edges.join(nxt, F.col("dst") == F.col("mid"))
+                .select("src", F.col("hop").alias("dst"))
+                .dropDuplicates()
+            )
+        if mod == "?":
+            derived = edges
+        else:
+            derived = transitive_closure(edges).select("src", "dst")
+        rows = derived.select(
+            F.col("src").alias("subj"), F.lit(spec).alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+        if mod in "*?":
+            terms = (
+                orig.select("subj")
+                .unionByName(orig.select(F.col("obj").alias("subj")))
+                .distinct()
+            )
+            rows = rows.unionByName(
+                terms.select(
+                    "subj", F.lit(spec).alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
+            )
+        src = _union_pad(src, rows)
     return src
 
 

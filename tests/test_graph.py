@@ -1729,3 +1729,61 @@ def test_sparql_graph_sequence_path_stays_in_graph(spark):
         "ORDER BY ?g",
     ).collect()
     assert [(r.g, r.n) for r in rows] == [("d1", "Ada"), ("d2", "Ada")]
+
+
+def test_sparql_grouped_path_closure(spark):
+    """(p/q)+ grouped paths: the composed edge set (chained per-step
+    equi-joins) closed by path doubling — every even-length
+    subClassOf chain, exactly."""
+    from kgc.graph import sparql_query
+
+    rows = [
+        ("A", "subClassOf", "B", "node"), ("B", "subClassOf", "C", "node"),
+        ("C", "subClassOf", "D", "node"), ("D", "subClassOf", "E", "node"),
+    ]
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string"
+    )
+    got = sparql_query(
+        kg,
+        "SELECT ?t ?a WHERE { ?t (subClassOf/subClassOf)+ ?a } "
+        "ORDER BY ?t ?a",
+    ).collect()
+    assert [(r.t, r.a) for r in got] == [
+        ("A", "C"), ("A", "E"), ("B", "D"), ("C", "E"),
+    ]
+    # * adds the identity relation over every term; a bound end prunes
+    got = sparql_query(
+        kg, 'SELECT ?t WHERE { ?t (subClassOf/subClassOf)* "E" } ORDER BY ?t'
+    ).collect()
+    assert [r.t for r in got] == ["A", "C", "E"]
+
+
+def test_sparql_grouped_path_optional_mod(spark):
+    """(p/q)? = composed edges plus identity."""
+    from kgc.graph import sparql_query
+
+    got = sparql_query(
+        _kg(spark),
+        'SELECT ?d WHERE { ?d (mentions/name)? "Paris" } ORDER BY ?d',
+    ).collect()
+    # doc:1/doc:2 via the composed edge; "Paris" via identity (it is a
+    # term of the graph)
+    assert [r.d for r in got] == ["Paris", "doc:1", "doc:2"]
+
+
+def test_sparql_grouped_path_loud_failures(spark):
+    import pytest as _pt
+
+    from kgc.graph import parse_sparql, sparql_query
+
+    with _pt.raises(ValueError, match="grouped property path"):
+        parse_sparql("SELECT ?a WHERE { ?a (p|q)+ ?b }")
+    with _pt.raises(ValueError, match="modifier"):
+        parse_sparql("SELECT ?a WHERE { ?a (p/q) ?b }")
+    with _pt.raises(ValueError, match="grouped property path"):
+        parse_sparql("SELECT ?a WHERE { ?a (p+/q)* ?b }")
+    with _pt.raises(ValueError, match="inside GRAPH"):
+        sparql_query(
+            _quads(spark), "SELECT ?a WHERE { GRAPH ?g { ?a (p/q)+ ?b } }"
+        )
