@@ -1285,7 +1285,7 @@ def q_graph_suite(spark, sf_dir):
         sparql_aggregate(
             et,
             "SELECT ?e (COUNT(DISTINCT ?d) AS ?nd) "
-            "(GROUP_CONCAT(DISTINCT ?d) AS ?ds) "
+            '(GROUP_CONCAT(DISTINCT ?d; SEPARATOR=",") AS ?ds) '
             "WHERE { ?d mentions ?e } GROUP BY ?e HAVING (?nd >= 2)",
         ),
         "sparql_agg", F.col("e"),
@@ -4354,7 +4354,7 @@ SELECT 'ntriples', md5(line), line FROM (
 UNION ALL
 SELECT 'sparql_agg', obj,
        count(DISTINCT subj)::VARCHAR || '|' ||
-       string_agg(DISTINCT subj, ' ' ORDER BY subj)
+       string_agg(DISTINCT subj, ',' ORDER BY subj)
 FROM etrip WHERE pred = 'mentions' GROUP BY obj
 HAVING count(DISTINCT subj) >= 2
 UNION ALL

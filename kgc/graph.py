@@ -2038,7 +2038,8 @@ _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max,
 
 _SELECT_AGG = re.compile(
     r"\(\s*(COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE)"
-    r"\s*\(\s*(DISTINCT\s+)?(\?[A-Za-z_]\w*|\*)\s*\)"
+    r"\s*\(\s*(DISTINCT\s+)?(\?[A-Za-z_]\w*|\*)"
+    r"(?:\s*;\s*SEPARATOR\s*=\s*(\"(?:[^\"\\]|\\.)*\"))?\s*\)"
     r"\s+AS\s+(\?[A-Za-z_]\w*)\s*\)",
     re.IGNORECASE,
 )
@@ -2055,9 +2056,13 @@ def _sparql_aggregate_impl(
 
     AGG ∈ COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE;
     COUNT(DISTINCT ?v) and GROUP_CONCAT(DISTINCT ?v) supported —
-    GROUP_CONCAT emits sorted with the spec-default ' ' separator
+    GROUP_CONCAT emits sorted with the spec-default ' ' separator or
+    an explicit ``GROUP_CONCAT(?v; SEPARATOR="...")``
     (deterministic under any partitioning); SAMPLE is MIN (any
-    value is conformant, MIN is the deterministic one).  SUM/AVG
+    value is conformant, MIN is the deterministic one).  The WHERE
+    group runs through the full group algebra, so GRAPH blocks
+    compose with aggregation (pass graph_col= for a non-doc_id
+    provenance column).  SUM/AVG
     cast the (string-typed) binding to double — the caller owns numeric
     determinism, same as SQL.  HAVING compares aggregate ALIASES
     (numeric literals compare as doubles, anything else as strings) and
@@ -2067,10 +2072,14 @@ def _sparql_aggregate_impl(
     aggs = []
 
     def lift(m):
-        fn, dist, var, alias = (
-            m.group(1).upper(), bool(m.group(2)), m.group(3), m.group(4)[1:],
+        fn, dist, var, sep_raw, alias = (
+            m.group(1).upper(), bool(m.group(2)), m.group(3),
+            m.group(4), m.group(5)[1:],
         )
-        aggs.append((fn, dist, None if var == "*" else var[1:], alias))
+        if sep_raw is not None and fn != "GROUP_CONCAT":
+            raise ValueError("SEPARATOR= only applies to GROUP_CONCAT")
+        sep = _sparql_unquote(sep_raw) if sep_raw is not None else " "
+        aggs.append((fn, dist, None if var == "*" else var[1:], alias, sep))
         return ""  # remove from the SELECT list the base parser sees
 
     lifted = _SELECT_AGG.sub(lift, text)
@@ -2101,17 +2110,18 @@ def _sparql_aggregate_impl(
     q = parse_sparql(lifted)
     out, sub_null = _solve_where(triples, q, **bgp_kwargs)
     exprs = []
-    for fn, dist, var, alias in aggs:
+    for fn, dist, var, alias, sep in aggs:
         col = F.col(var) if var else F.lit(1)
         if fn in ("SUM", "AVG") and var:
             col = col.cast("double")
         if fn == "GROUP_CONCAT":
             # SPARQL leaves element order undefined; emit SORTED with
-            # the spec-default " " separator so the result is
-            # deterministic under any partitioning (and oracle-exact)
+            # the separator (spec-default " ", or SEPARATOR=) so the
+            # result is deterministic under any partitioning (and
+            # oracle-exact)
             bag = F.collect_set(col) if dist else F.collect_list(col)
             exprs.append(
-                F.array_join(F.sort_array(bag), " ").alias(alias)
+                F.array_join(F.sort_array(bag), sep).alias(alias)
             )
         elif fn == "SAMPLE":
             # any value is spec-conformant; MIN is the deterministic one
@@ -2123,7 +2133,7 @@ def _sparql_aggregate_impl(
         else:
             exprs.append(_AGG_FNS[fn](col).alias(alias))
     out = out.groupBy(*group_vars).agg(*exprs) if group_vars else out.agg(*exprs)
-    agg_aliases = {a for _, _, _, a in aggs}
+    agg_aliases = {a for _, _, _, a, _ in aggs}
     for alias, op, raw in having:
         if alias not in agg_aliases and alias not in group_vars:
             raise ValueError(f"HAVING references unknown alias ?{alias}")
@@ -2152,7 +2162,7 @@ def _sparql_aggregate_impl(
     # when a group holds only unbound bindings; COUNT / GROUP_CONCAT
     # never are.
     nullable = {g for g in group_vars if g in sub_null} | {
-        alias for fn, _, var, alias in aggs
+        alias for fn, _, var, alias, _ in aggs
         if fn in ("SUM", "AVG", "MIN", "MAX", "SAMPLE")
         and var is not None and var in sub_null
     }

@@ -1787,3 +1787,37 @@ def test_sparql_grouped_path_loud_failures(spark):
         sparql_query(
             _quads(spark), "SELECT ?a WHERE { GRAPH ?g { ?a (p/q)+ ?b } }"
         )
+
+
+def test_sparql_group_concat_separator(spark):
+    from kgc.graph import sparql_aggregate
+
+    rows = sparql_aggregate(
+        _kg(spark),
+        'SELECT ?e (GROUP_CONCAT(DISTINCT ?d; SEPARATOR=",") AS ?ds) '
+        "WHERE { ?d mentions ?e } GROUP BY ?e ORDER BY ?e",
+    ).collect()
+    assert [(r.e, r.ds) for r in rows] == [
+        ("ent:1", "doc:1"), ("ent:2", "doc:1,doc:2"),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="SEPARATOR"):
+        sparql_aggregate(
+            _kg(spark),
+            'SELECT ?e (COUNT(?d; SEPARATOR=",") AS ?n) '
+            "WHERE { ?d mentions ?e } GROUP BY ?e",
+        )
+
+
+def test_sparql_aggregate_composes_with_graph(spark):
+    """GRAPH inside an aggregate WHERE group: per-graph counts over
+    the quad table — provenance aggregation in one query."""
+    from kgc.graph import sparql_aggregate
+
+    rows = sparql_aggregate(
+        _quads(spark),
+        "SELECT ?g (COUNT(?e) AS ?n) WHERE "
+        "{ GRAPH ?g { ?d mentions ?e } } GROUP BY ?g ORDER BY ?g",
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [("d1", 1), ("d2", 1)]
