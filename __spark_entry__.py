@@ -1286,10 +1286,12 @@ def q_graph_suite(spark, sf_dir):
             et,
             "SELECT ?e (COUNT(DISTINCT ?d) AS ?nd) "
             '(GROUP_CONCAT(DISTINCT ?d; SEPARATOR=",") AS ?ds) '
+            "(SUM(STRLEN(?d)) AS ?sl) "
             "WHERE { ?d mentions ?e } GROUP BY ?e HAVING (?nd >= 2)",
         ),
         "sparql_agg", F.col("e"),
-        F.concat_ws("|", F.col("nd").cast("string"), F.col("ds")),
+        F.concat_ws("|", F.col("nd").cast("string"), F.col("ds"),
+                    F.col("sl").cast("bigint").cast("string")),
     )
     con = _leg(
         to_ntriples(
@@ -4354,7 +4356,8 @@ SELECT 'ntriples', md5(line), line FROM (
 UNION ALL
 SELECT 'sparql_agg', obj,
        count(DISTINCT subj)::VARCHAR || '|' ||
-       string_agg(DISTINCT subj, ',' ORDER BY subj)
+       string_agg(DISTINCT subj, ',' ORDER BY subj) || '|' ||
+       sum(length(subj))::BIGINT::VARCHAR
 FROM etrip WHERE pred = 'mentions' GROUP BY obj
 HAVING count(DISTINCT subj) >= 2
 UNION ALL

@@ -2038,11 +2038,22 @@ _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max,
 
 _SELECT_AGG = re.compile(
     r"\(\s*(COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE)"
-    r"\s*\(\s*(DISTINCT\s+)?(\?[A-Za-z_]\w*|\*)"
+    # argument: * | ?var | a scalar expression (strings and one level
+    # of nested parens allowed — enough for STRLEN(?n), (?a + 1) * 2)
+    r"\s*\(\s*(DISTINCT\s+)?"
+    r"((?:[^();\"]|\"(?:[^\"\\]|\\.)*\"|\([^()]*\))+?)"
     r"(?:\s*;\s*SEPARATOR\s*=\s*(\"(?:[^\"\\]|\\.)*\"))?\s*\)"
     r"\s+AS\s+(\?[A-Za-z_]\w*)\s*\)",
     re.IGNORECASE,
 )
+
+
+def _parse_scalar_fragment(fragment: str):
+    """Parse a scalar-expression fragment (an aggregate's argument) to
+    the same AST BIND bodies use — by wrapping it in a minimal SELECT
+    so the one scalar grammar in parse_sparql serves both."""
+    q = parse_sparql(f"SELECT ({fragment} AS ?__agg) WHERE {{ }}")
+    return q["select"][0][2]
 
 
 def _sparql_aggregate_impl(
@@ -2050,11 +2061,14 @@ def _sparql_aggregate_impl(
 ) -> tuple[DataFrame, set[str]]:
     """SPARQL GROUP BY aggregation over a triple table.  Grammar:
 
-      SELECT ?g ... (AGG(?v|*) AS ?alias) ... WHERE { ... } GROUP BY ?g ...
+      SELECT ?g ... (AGG(expr|?v|*) AS ?alias) ... WHERE { ... } GROUP BY ?g ...
       [HAVING (?alias op const [&& ?alias op const]*)]
       [ORDER BY ...] [LIMIT n]
 
-    AGG ∈ COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE;
+    AGG ∈ COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE; the argument may
+    be any BIND-grammar scalar expression (SUM(STRLEN(?n)),
+    AVG(?a + 1) — parsed by the same scalar grammar, compiled to one
+    Catalyst column inside the hash aggregate);
     COUNT(DISTINCT ?v) and GROUP_CONCAT(DISTINCT ?v) supported —
     GROUP_CONCAT emits sorted with the spec-default ' ' separator or
     an explicit ``GROUP_CONCAT(?v; SEPARATOR="...")``
@@ -2072,14 +2086,21 @@ def _sparql_aggregate_impl(
     aggs = []
 
     def lift(m):
-        fn, dist, var, sep_raw, alias = (
-            m.group(1).upper(), bool(m.group(2)), m.group(3),
+        fn, dist, frag, sep_raw, alias = (
+            m.group(1).upper(), bool(m.group(2)), m.group(3).strip(),
             m.group(4), m.group(5)[1:],
         )
         if sep_raw is not None and fn != "GROUP_CONCAT":
             raise ValueError("SEPARATOR= only applies to GROUP_CONCAT")
         sep = _sparql_unquote(sep_raw) if sep_raw is not None else " "
-        aggs.append((fn, dist, None if var == "*" else var[1:], alias, sep))
+        if frag == "*":
+            ast = None  # COUNT(*)
+        elif re.fullmatch(r"\?[A-Za-z_]\w*", frag):
+            ast = ("var", frag[1:])
+        else:
+            # aggregate over a scalar expression — same grammar as BIND
+            ast = _parse_scalar_fragment(frag)
+        aggs.append((fn, dist, ast, alias, sep))
         return ""  # remove from the SELECT list the base parser sees
 
     lifted = _SELECT_AGG.sub(lift, text)
@@ -2110,9 +2131,9 @@ def _sparql_aggregate_impl(
     q = parse_sparql(lifted)
     out, sub_null = _solve_where(triples, q, **bgp_kwargs)
     exprs = []
-    for fn, dist, var, alias, sep in aggs:
-        col = F.col(var) if var else F.lit(1)
-        if fn in ("SUM", "AVG") and var:
+    for fn, dist, arg, alias, sep in aggs:
+        col = _compile_scalar(arg) if arg is not None else F.lit(1)
+        if fn in ("SUM", "AVG") and arg is not None:
             col = col.cast("double")
         if fn == "GROUP_CONCAT":
             # SPARQL leaves element order undefined; emit SORTED with
@@ -2162,9 +2183,9 @@ def _sparql_aggregate_impl(
     # when a group holds only unbound bindings; COUNT / GROUP_CONCAT
     # never are.
     nullable = {g for g in group_vars if g in sub_null} | {
-        alias for fn, _, var, alias, _ in aggs
+        alias for fn, _, arg, alias, _ in aggs
         if fn in ("SUM", "AVG", "MIN", "MAX", "SAMPLE")
-        and var is not None and var in sub_null
+        and arg is not None and (_scalar_vars(arg) & sub_null)
     }
     return out, nullable
 

@@ -1821,3 +1821,24 @@ def test_sparql_aggregate_composes_with_graph(spark):
         "{ GRAPH ?g { ?d mentions ?e } } GROUP BY ?g ORDER BY ?g",
     ).collect()
     assert [(r.g, r.n) for r in rows] == [("d1", 1), ("d2", 1)]
+
+
+def test_sparql_aggregate_over_expression(spark):
+    """AGG over a scalar expression — SUM(STRLEN(?n)), AVG(?x + 1) —
+    the aggregate argument reuses the BIND scalar grammar."""
+    from kgc.graph import sparql_aggregate
+
+    rows = sparql_aggregate(
+        _kg(spark),
+        "SELECT ?e (SUM(STRLEN(?n)) AS ?sl) (AVG(STRLEN(?n) + 1) AS ?av) "
+        "WHERE { ?d mentions ?e . ?e name ?n } GROUP BY ?e ORDER BY ?e",
+    ).collect()
+    assert [(r.e, r.sl, r.av) for r in rows] == [
+        ("ent:1", 3.0, 4.0), ("ent:2", 10.0, 6.0),
+    ]
+    rows = sparql_aggregate(
+        _kg(spark),
+        'SELECT (MAX(CONCAT(?t, ":", ?n)) AS ?mx) '
+        'WHERE { ?e "@type" ?t . ?e name ?n }',
+    ).collect()
+    assert [r.mx for r in rows] == ["Place:Paris"]
