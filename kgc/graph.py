@@ -664,6 +664,13 @@ def _need_args(fn: str, cols: list, n: int) -> None:
         raise ValueError(f"{fn} takes exactly {n} argument(s), got {len(cols)}")
 
 
+def _map_a(pred: str) -> str:
+    """The SPARQL ``a`` keyword: rdf:type sugar in predicate position,
+    mapped onto this KG's type predicate ``@type`` (lowercase bare
+    ``a`` only, per the spec's case-sensitive keyword)."""
+    return "@type" if pred == "a" else pred
+
+
 def _sparql_unquote(tok: str) -> str:
     """Constant term normalization: strip <> from IRIs (keeping a
     trailing +/* path marker), decode \\-escapes in quoted literals."""
@@ -797,10 +804,10 @@ def parse_sparql(text: str) -> dict:
                     else:
                         nxt = f"?__seq{seq_n}"
                         seq_n += 1
-                    pats.append((prev, _sparql_unquote(st), nxt))
+                    pats.append((prev, _map_a(_sparql_unquote(st)), nxt))
                     prev = nxt
             else:
-                pats.append((s, _sparql_unquote(p_raw), o))
+                pats.append((s, _map_a(_sparql_unquote(p_raw)), o))
             if peek() == ".":
                 take()
         return pats
@@ -1212,16 +1219,28 @@ def parse_sparql(text: str) -> dict:
         t = take()
         if t.upper() == "ORDER":
             take("BY")
+
+            def order_key():
+                # ?v stays a plain name (back-compat with alias-based
+                # ORDER in aggregates); an expression rides as
+                # ("expr", ast) and compiles via _compile_scalar
+                ast = scalar_expr()
+                return ast[1] if ast[0] == "var" else ("expr", ast)
+
             while peek() is not None and (
-                peek().startswith("?") or peek().upper() in ("ASC", "DESC")
+                peek().startswith("?")
+                or peek().upper() in ("ASC", "DESC", "IF")
+                or peek().upper() in _SCALAR_FNS
+                or peek() == "("
             ):
-                d = take()
+                d = peek()
                 if d.upper() in ("ASC", "DESC"):
+                    take()
                     take("(")
-                    order.append((take()[1:], d.upper() == "ASC"))
+                    order.append((order_key(), d.upper() == "ASC"))
                     take(")")
                 else:
-                    order.append((d[1:], True))
+                    order.append((order_key(), True))
         elif t.upper() == "LIMIT":
             limit = int(take())
         elif t.upper() == "OFFSET":
@@ -1945,6 +1964,12 @@ def _filter_vars(f) -> set[str]:
     return {f[1]}
 
 
+def _order_col(v):
+    """ORDER BY key → Column: a plain name (variable or aggregate
+    alias) or an ("expr", ast) scalar expression."""
+    return _compile_scalar(v[1]) if isinstance(v, tuple) else F.col(v)
+
+
 def _finish_select(
     out: DataFrame, q: dict, nullable: set[str]
 ) -> tuple[DataFrame, set[str]]:
@@ -1975,7 +2000,7 @@ def _finish_select(
         out = out.dropDuplicates()
     if q["order"]:
         out = out.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc()
+            *[_order_col(v).asc() if asc else _order_col(v).desc()
               for v, asc in q["order"]]
         )
     if q["offset"] is not None:
@@ -2170,7 +2195,7 @@ def _sparql_aggregate_impl(
         )
     if q["order"]:
         out = out.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc()
+            *[_order_col(v).asc() if asc else _order_col(v).desc()
               for v, asc in q["order"]]
         )
     if q["offset"] is not None:
@@ -2205,6 +2230,15 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     'node' when the template object is a variable that was bound from
     a subject position or an explicit <iri> constant, else 'literal' —
     documented approximation over an untyped triple table."""
+    mw = re.match(
+        r"\s*CONSTRUCT\s+WHERE\s*\{(.*)\}\s*([^{}]*)$", text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mw:
+        # CONSTRUCT WHERE { tp ... } shorthand (spec: simple triple
+        # patterns only) — template = pattern list, verbatim
+        body, trailer = mw.group(1), mw.group(2)
+        text = f"CONSTRUCT {{ {body} }} WHERE {{ {body} }} {trailer}"
     m = re.match(r"\s*CONSTRUCT\s*\{(.*?)\}\s*(WHERE\s*\{.*)", text,
                  re.IGNORECASE | re.DOTALL)
     if not m:
@@ -2214,7 +2248,17 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     for t in tmpl_toks:
         if t == ".":
             continue
-        cur.append(_sparql_unquote(t))
+        if len(cur) == 1 and not t.startswith("<") and (
+            t[-1] in "+*?" or t[0] in "^!(" or "|" in t or "/" in t
+        ):
+            # a path form in a template is meaningless (and in the
+            # WHERE-shorthand it would silently diverge from the
+            # sequence-rewritten pattern) — refuse loudly
+            raise ValueError(
+                f"property path {t!r} in a CONSTRUCT template"
+            )
+        cur.append(_map_a(_sparql_unquote(t)) if len(cur) == 1
+                   else _sparql_unquote(t))
         if len(cur) == 3:
             tmpl.append(tuple(cur))
             cur = []

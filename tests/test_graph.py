@@ -1842,3 +1842,67 @@ def test_sparql_aggregate_over_expression(spark):
         'WHERE { ?e "@type" ?t . ?e name ?n }',
     ).collect()
     assert [r.mx for r in rows] == ["Place:Paris"]
+
+
+def test_sparql_a_keyword_is_type_sugar(spark):
+    """`?x a Person` — the SPARQL rdf:type keyword maps to this KG's
+    @type predicate, in plain patterns, sequence steps, GRAPH blocks,
+    and CONSTRUCT templates."""
+    from kgc.graph import sparql_construct, sparql_query
+
+    kg = _kg(spark)
+    assert [r.e for r in sparql_query(
+        kg, "SELECT ?e WHERE { ?e a Person }").collect()] == ["ent:1"]
+    rows = sparql_query(
+        kg, "SELECT DISTINCT ?t WHERE { ?d mentions/a ?t } ORDER BY ?t"
+    ).collect()
+    assert [r.t for r in rows] == ["Person", "Place"]
+    got = sparql_construct(
+        kg, "CONSTRUCT { ?e a Thing } WHERE { ?e a Person }"
+    ).collect()
+    assert [(r.subj, r.pred, r.obj) for r in got] == [
+        ("ent:1", "@type", "Thing")
+    ]
+    rows = sparql_query(
+        _quads(spark), "SELECT ?e WHERE { GRAPH \"d2\" { ?e a Event } }"
+    ).collect()
+    assert [r.e for r in rows] == ["ent:3"]
+
+
+def test_sparql_order_by_expression(spark):
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _kg(spark),
+        "SELECT ?n WHERE { ?e name ?n } ORDER BY DESC(STRLEN(?n)) ?n",
+    ).collect()
+    assert [r.n for r in rows] == ["Paris", "Ada"]
+    rows = sparql_query(
+        _kg(spark),
+        'SELECT ?n WHERE { ?e name ?n } '
+        'ORDER BY IF(?n = "Ada", "z", ?n)',
+    ).collect()
+    assert [r.n for r in rows] == ["Paris", "Ada"]
+
+
+def test_sparql_construct_where_shorthand(spark):
+    from kgc.graph import sparql_construct
+
+    got = sparql_construct(
+        _kg(spark), "CONSTRUCT WHERE { ?d mentions ?e . ?e a ?t }"
+    ).collect()
+    assert sorted((r.subj, r.pred, r.obj) for r in got) == [
+        ("doc:1", "mentions", "ent:1"), ("doc:1", "mentions", "ent:2"),
+        ("doc:2", "mentions", "ent:2"),
+        ("ent:1", "@type", "Person"), ("ent:2", "@type", "Place"),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="CONSTRUCT template"):
+        sparql_construct(
+            _kg(spark), "CONSTRUCT WHERE { ?d mentions/name ?n }"
+        )
+    with _pt.raises(ValueError, match="CONSTRUCT template"):
+        sparql_construct(
+            _kg(spark), "CONSTRUCT { ?d p+ ?x } WHERE { ?d p ?x }"
+        )

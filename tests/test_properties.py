@@ -154,7 +154,7 @@ class TestSparqlParserTotality:
 
     @given(
         st.text(
-            alphabet=_CHARS + '{}()?<>"*+|.' + "SELECTWHEREUNIONVALUES",
+            alphabet=_CHARS + '{}()?<>"*+|.,;!&=/^' + "SELECTWHEREUNIONVALUESGRAPHBINDFILTERINF",
             max_size=120,
         )
     )
