@@ -25,7 +25,9 @@ Design notes
   snapshot manifest locally) so resume falls out of the architecture.
 * The constructed KG is queryable in place (kgc.graph: all four
   SPARQL 1.1 query forms compiled onto Catalyst — BGP joins, group
-  algebra, property paths, aggregates) and interchanges losslessly
+  algebra, property paths incl. sequences and grouped closures,
+  named-graph GRAPH scope over provenance quads, scalar/string
+  builtins, aggregates over expressions) and interchanges losslessly
   (kgc.triples: N-Triples and JSON-LD, both directions, bit-exact
   round trips; kg_diff for snapshot-to-snapshot QA).
 """
