@@ -548,6 +548,9 @@ _SPARQL_TOKEN = re.compile(
     r"""\?[A-Za-z_]\w*      # variable
       | <[^>]*>[+*]?        # IRI ref, optional +/* path
       | "(?:[^"\\]|\\.)*"   # quoted literal
+      | -?\d+\.\d+          # decimal literal (before "." punctuation —
+                            #   the pattern separator never has digits
+                            #   on BOTH sides)
       | [{}(),.]            # punctuation (comma separates arg/IN lists)
       | [^\s{}(),."]+       # bare term / keyword
     """,
@@ -601,6 +604,10 @@ def _compile_scalar(ast):
         return F.when(
             _compile_filter(ast[1]), _compile_scalar(ast[2])
         ).otherwise(_compile_scalar(ast[3]))
+    if kind == "dbl":
+        # internal: force a double comparison side (HAVING numeric
+        # literals against typed aggregate columns under ANSI mode)
+        return _compile_scalar(ast[1]).cast("double")
     _, fn, args = ast
     cols = [_compile_scalar(a) for a in args]
     if fn == "CONCAT":
@@ -1944,6 +1951,8 @@ def _scalar_vars(ast) -> set[str]:
         return (
             _filter_vars(ast[1]) | _scalar_vars(ast[2]) | _scalar_vars(ast[3])
         )
+    if kind == "dbl":
+        return _scalar_vars(ast[1])
     return set()
 
 
@@ -2081,13 +2090,44 @@ def _parse_scalar_fragment(fragment: str):
     return q["select"][0][2]
 
 
+def _having_numeric(f):
+    """HAVING numeric coercion: a plain comparison against a numeric
+    literal compares as DOUBLE on both sides (aggregate columns are
+    typed — long counts, double sums — and ANSI mode refuses e.g.
+    bigint vs '2.5' string casts).  Non-numeric comparisons and the
+    richer atoms pass through unchanged."""
+    tag = f[0]
+    if tag in ("and", "or"):
+        return (tag, _having_numeric(f[1]), _having_numeric(f[2]))
+    if tag == "not":
+        return (tag, _having_numeric(f[1]))
+    if tag != "cmp":
+        return f
+    _, l, op, r = f
+
+    def side(x):
+        if x.startswith("?"):
+            return ("var", x[1:])
+        try:
+            return ("num", float(x))
+        except ValueError:
+            return ("lit", x)
+
+    ls, rs = side(l), side(r)
+    if "num" in (ls[0], rs[0]):
+        return ("cmp2", ("dbl", ls), op, ("dbl", rs))
+    return f
+
+
 def _sparql_aggregate_impl(
     triples: DataFrame, text: str, **bgp_kwargs
 ) -> tuple[DataFrame, set[str]]:
     """SPARQL GROUP BY aggregation over a triple table.  Grammar:
 
       SELECT ?g ... (AGG(expr|?v|*) AS ?alias) ... WHERE { ... } GROUP BY ?g ...
-      [HAVING (?alias op const [&& ?alias op const]*)]
+      [HAVING (bool-expr over aliases/group vars — the full FILTER
+       grammar: && || !(), scalar comparisons, string tests, IN;
+       numeric literals compare as double)]
       [ORDER BY ...] [LIMIT n]
 
     AGG ∈ COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE; the argument may
@@ -2129,20 +2169,19 @@ def _sparql_aggregate_impl(
         return ""  # remove from the SELECT list the base parser sees
 
     lifted = _SELECT_AGG.sub(lift, text)
-    mh = re.search(r"HAVING\s*\(([^()]*)\)", lifted, re.IGNORECASE)
-    having: list[tuple[str, str, str]] = []
+    mh = re.search(
+        r"HAVING\s*\(((?:[^()]|\([^()]*\))*)\)", lifted, re.IGNORECASE
+    )
+    having_ast = None
     if mh:
         lifted = lifted[: mh.start()] + " " + lifted[mh.end():]
-        for clause in re.split(r"&&", mh.group(1)):
-            hm = re.fullmatch(
-                r"\s*\?([A-Za-z_]\w*)\s*(=|!=|<=|>=|<|>)\s*(\S+)\s*",
-                clause,
-            )
-            if not hm:
-                raise ValueError(
-                    f"HAVING clause must be '?alias op const': {clause!r}"
-                )
-            having.append((hm.group(1), hm.group(2), hm.group(3)))
+        # HAVING reuses the ONE boolean grammar (&&/||/!(), scalar
+        # comparisons, string tests, IN) by parsing its body as a
+        # FILTER; variables are aggregate aliases / group vars.
+        hq = parse_sparql(
+            "SELECT ?__h WHERE { FILTER (" + mh.group(1) + ") }"
+        )
+        having_ast = _having_numeric(hq["filters"][0])
     mg = re.search(r"GROUP\s+BY((?:\s+\?[A-Za-z_]\w*)+)", lifted, re.IGNORECASE)
     if mg:
         lifted = lifted[: mg.start()] + " " + lifted[mg.end():]
@@ -2180,19 +2219,13 @@ def _sparql_aggregate_impl(
             exprs.append(_AGG_FNS[fn](col).alias(alias))
     out = out.groupBy(*group_vars).agg(*exprs) if group_vars else out.agg(*exprs)
     agg_aliases = {a for _, _, _, a, _ in aggs}
-    for alias, op, raw in having:
-        if alias not in agg_aliases and alias not in group_vars:
-            raise ValueError(f"HAVING references unknown alias ?{alias}")
-        try:
-            rhs: object = float(raw)
-            lhs = F.col(alias).cast("double")
-        except ValueError:
-            rhs = _sparql_unquote(raw)
-            lhs = F.col(alias)
-        out = out.filter(
-            {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
-             ">": lhs > rhs, "<=": lhs <= rhs, ">=": lhs >= rhs}[op]
-        )
+    if having_ast is not None:
+        unknown = _filter_vars(having_ast) - agg_aliases - set(group_vars)
+        if unknown:
+            raise ValueError(
+                f"HAVING references unknown alias ?{sorted(unknown)[0]}"
+            )
+        out = out.filter(_compile_filter(having_ast))
     if q["order"]:
         out = out.orderBy(
             *[_order_col(v).asc() if asc else _order_col(v).desc()

@@ -1906,3 +1906,57 @@ def test_sparql_construct_where_shorthand(spark):
         sparql_construct(
             _kg(spark), "CONSTRUCT { ?d p+ ?x } WHERE { ?d p ?x }"
         )
+
+
+def test_sparql_having_full_boolean_grammar(spark):
+    """HAVING reuses the one FILTER grammar: ||, string tests, and
+    scalar comparisons over aliases; numeric literals still compare as
+    double (ANSI-safe against long/double aggregate columns)."""
+    from kgc.graph import sparql_aggregate
+
+    kg = _kg(spark)
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (COUNT(?d) AS ?nd) WHERE { ?d mentions ?e } "
+        "GROUP BY ?e HAVING (?nd >= 2 || ?e = \"ent:1\") ORDER BY ?e",
+    ).collect()
+    assert [(r.e, r.nd) for r in rows] == [("ent:1", 1), ("ent:2", 2)]
+    rows = sparql_aggregate(
+        kg,
+        'SELECT ?e (GROUP_CONCAT(?d; SEPARATOR=",") AS ?ds) '
+        "WHERE { ?d mentions ?e } GROUP BY ?e "
+        'HAVING (CONTAINS(?ds, "doc:2")) ORDER BY ?e',
+    ).collect()
+    assert [(r.e, r.ds) for r in rows] == [("ent:2", "doc:1,doc:2")]
+    rows = sparql_aggregate(
+        kg,
+        "SELECT ?e (COUNT(?d) AS ?nd) WHERE { ?d mentions ?e } "
+        "GROUP BY ?e HAVING (?nd >= 1.5)",
+    ).collect()
+    assert [(r.e, r.nd) for r in rows] == [("ent:2", 2)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown alias"):
+        sparql_aggregate(
+            kg,
+            "SELECT ?e (COUNT(?d) AS ?nd) WHERE { ?d mentions ?e } "
+            "GROUP BY ?e HAVING (?nosuch > 1)",
+        )
+
+
+def test_sparql_decimal_literals_in_filters(spark):
+    """Decimal literals tokenize whole (`0.5` is one token, not
+    `0 . 5`) — FILTER and BIND arithmetic over fractional thresholds."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _kg(spark),
+        "SELECT ?n WHERE { ?e name ?n "
+        "FILTER (STRLEN(?n) / 2 > 1.6) }",
+    ).collect()
+    assert [r.n for r in rows] == ["Paris"]
+    rows = sparql_query(
+        _kg(spark),
+        "SELECT ?n (STRLEN(?n) * 0.5 AS ?h) WHERE { ?e name ?n } ORDER BY ?n",
+    ).collect()
+    assert [(r.n, r.h) for r in rows] == [("Ada", 1.5), ("Paris", 2.5)]
