@@ -1960,3 +1960,52 @@ def test_sparql_decimal_literals_in_filters(spark):
         "SELECT ?n (STRLEN(?n) * 0.5 AS ?h) WHERE { ?e name ?n } ORDER BY ?n",
     ).collect()
     assert [(r.n, r.h) for r in rows] == [("Ada", 1.5), ("Paris", 2.5)]
+
+
+def test_sparql_graph_constant_plan_pushes_to_scan(spark, tmp_path):
+    """Plan pin for the GRAPH clause: a constant graph term must reach
+    the parquet scan as a pushed filter on the provenance column (it
+    is compiled as an ordinary column equality, so Catalyst pushes it
+    through the reserved-column projection), and no leg degenerates to
+    a nested loop."""
+    from kgc.graph import sparql_query
+
+    path = str(tmp_path / "quads")
+    _quads(spark).write.parquet(path)
+    out = sparql_query(
+        spark.read.parquet(path),
+        'SELECT DISTINCT ?e WHERE { GRAPH "d2" { ?d events ?e } }',
+    )
+    pp = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in pp, pp
+    m = [ln for ln in pp.splitlines() if "PushedFilters" in ln]
+    assert any("doc_id" in ln and "d2" in ln for ln in m), pp
+    assert "BroadcastNestedLoopJoin" not in pp
+    assert "CartesianProduct" not in pp
+    assert [r.e for r in out.collect()] == ["ent:3"]
+
+
+def test_sparql_filterfns_leg_plan_no_nested_loop(spark, tmp_path):
+    """The sparql_filterfns suite leg's shape: one self-join on ?e
+    (type × name), every FILTER a plain Catalyst predicate, no nested
+    loop or cartesian, pred constants pushed to the scan."""
+    from kgc.graph import sparql_query
+
+    path = str(tmp_path / "kg")
+    _kg(spark).write.parquet(path)
+    out = sparql_query(
+        spark.read.parquet(path),
+        """SELECT DISTINCT ?e ?n ?s WHERE {
+             ?e "@type" ?t . ?e name ?n .
+             FILTER (?t IN ("Person", "Place") && CONTAINS(LCASE(?n), "a"))
+             FILTER (STRLEN(?n) >= 3 || STRSTARTS(?n, "Z"))
+             BIND (SUBSTR(?n, 1, 3) AS ?s) }""",
+    )
+    pp = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in pp
+    assert "CartesianProduct" not in pp
+    assert any(
+        "PushedFilters" in ln and "pred" in ln for ln in pp.splitlines()
+    ), pp
+    rows = sorted((r.e, r.n, r.s) for r in out.collect())
+    assert rows == [("ent:1", "Ada", "Ada"), ("ent:2", "Paris", "Par")]
