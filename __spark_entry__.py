@@ -1504,6 +1504,21 @@ def q_graph_suite(spark, sf_dir):
         F.concat_ws("|", F.col("s"), F.col("r"), F.col("tag"),
                     F.col("h").cast("string")),
     )
+    # OPTIONAL { P FILTER C } — the left-join-condition idiom, in its
+    # divergent case: rows whose events fail the group filter keep the
+    # solution row with ?ev unbound (a WHERE-level filter would drop
+    # them entirely).
+    optf = _leg(
+        sparql_query(
+            et,
+            """SELECT DISTINCT ?d ?e ?ev WHERE {
+                 ?d mentions ?e
+                 OPTIONAL { ?d events ?ev FILTER (STRLEN(?ev) >= 10) } }""",
+        ),
+        "sparql_optfilter",
+        F.concat_ws("|", F.col("d"), F.col("e")),
+        F.coalesce(F.col("ev"), F.lit("")),
+    )
     quads = _quads_from_linked(linked)
     gleg = _leg(
         sparql_query(
@@ -1544,6 +1559,7 @@ def q_graph_suite(spark, sf_dir):
         .unionByName(nullcompat).unionByName(subq)
         .unionByName(minus_unb).unionByName(exists_unb)
         .unionByName(fns).unionByName(gleg).unionByName(grouppath)
+        .unionByName(optf)
     )
     out._kgc_pinned = [linked, et]  # released by kgc.pipeline.release
     return out
@@ -4479,6 +4495,16 @@ SELECT DISTINCT 'sparql_graph',
 FROM top m
 JOIN top n ON n.doc_id = m.doc_id AND n.entity_id = m.entity_id
 WHERE m.entity_type = 'Person'
+UNION ALL
+-- OPTIONAL group filter: left join against the FILTERED events set;
+-- rows failing the length gate keep ev = ''
+SELECT DISTINCT 'sparql_optfilter', m.subj || '|' || m.obj,
+       coalesce(ev.obj, '')
+FROM etrip m
+LEFT JOIN (SELECT subj, obj FROM etrip
+           WHERE pred = 'events' AND length(obj) >= 10) ev
+       ON ev.subj = m.subj
+WHERE m.pred = 'mentions'
 UNION ALL
 -- grouped path (subClassOf/subClassOf)+ = ancestors at EVEN depth in
 -- the recursive closure (every even-length chain decomposes into

@@ -706,9 +706,10 @@ def parse_sparql(text: str) -> dict:
     order, limit, offset, unions, minus, values, binds}.  ``select``
     items are plain var names or ("expr", name, ast) for (expr AS ?v).
     ``optional`` holds single-pattern OPTIONALs (independent left
-    joins); a multi-pattern ``OPTIONAL { tp . tp ... }`` is a GROUP
-    per the spec — all-or-nothing binding — and lands in
-    ``optional_groups`` as its own pattern list.  ``filters``
+    joins); a multi-pattern ``OPTIONAL { tp . tp ... }`` — or any
+    OPTIONAL carrying FILTERs (the left-join-condition idiom) — is a
+    GROUP per the spec and lands in ``optional_groups`` as a
+    (patterns, filters) pair.  ``filters``
     entries are boolean ASTs: leaves tagged ("cmp", lhs, op, rhs) |
     ("regex", var, pat, flags) | ("bound", var, positive), interior
     nodes ("and"|"or", l, r) and ("not", e) from &&/||/!(...).
@@ -1105,14 +1106,27 @@ def parse_sparql(text: str) -> dict:
             raise ValueError("unterminated WHERE group")
         if t.upper() == "OPTIONAL":
             take()
-            blk = braced_block()
-            if len(blk) == 1:
+            # OPTIONAL { tp ... [FILTER (...)] ... } — the group may
+            # carry FILTERs (the left-join-condition idiom); patterns
+            # and filters may interleave per the spec's group grammar
+            take("{")
+            blk = triple_block()
+            gfilts = []
+            while peek() is not None and peek().upper() == "FILTER":
+                take()
+                gfilts.append(filter_expr())
+                blk.extend(triple_block())
+            take("}")
+            if not blk:
+                raise ValueError("empty OPTIONAL group")
+            if len(blk) == 1 and not gfilts:
                 optional.extend(blk)
             else:
                 # multi-pattern OPTIONAL is a GROUP per the spec: its
-                # patterns bind all-or-nothing, so it cannot ride the
-                # flat per-pattern left-join list
-                optional_groups.append(blk)
+                # patterns bind all-or-nothing (and its FILTERs join
+                # the LeftJoin condition), so it cannot ride the flat
+                # per-pattern left-join list
+                optional_groups.append((blk, gfilts))
         elif t.upper() == "FILTER":
             take()
             nxt = peek()
@@ -1639,7 +1653,7 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     Property paths (`p+`) are expanded once over ALL groups' patterns
     before compilation."""
     all_pats = list(q["patterns"]) + list(q["optional"])
-    for g in q.get("optional_groups", ()):
+    for g, _gf in q.get("optional_groups", ()):
         all_pats.extend(g)
     for branches in q["unions"]:
         for b in branches:
@@ -1678,14 +1692,31 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     elif q["optional"] or q.get("optional_groups"):
         raise ValueError("OPTIONAL requires at least one required pattern")
 
-    for blk in q.get("optional_groups", ()):
+    for blk, gfilts in q.get("optional_groups", ()):
         # multi-pattern OPTIONAL group: spec LeftJoin — the group's
         # patterns join each other first (all-or-nothing binding), then
         # left-join the solution; a solution row with no compatible
         # group row survives with every group-only var unbound.  A
         # nullable shared var takes the compat form of the left join
         # (unbound matches anything, merged binding via coalesce).
+        # Group FILTERs are the LeftJoin condition; restricted to the
+        # group's own variables, applying them INSIDE the group before
+        # the left join is exactly the spec's LeftJoin(A, Filter(expr,
+        # B)) = LeftJoin(A, B, expr) equivalence (expr sees only B's
+        # bindings, and on shared vars the equi/compat join makes the
+        # merged binding equal B's).  A filter over an outer-only
+        # variable is refused loudly.
         gsol = bgp_query(src, blk, **bgp_kwargs)
+        if gfilts:
+            gvars_own = _pattern_vars(blk)
+            for gf in gfilts:
+                outer_only = _filter_vars(gf) - gvars_own
+                if outer_only:
+                    raise ValueError(
+                        "FILTER inside OPTIONAL may only reference the "
+                        f"group's own variables (got ?{sorted(outer_only)[0]})"
+                    )
+            gsol = _apply_filters(gsol, gfilts)
         gvars = set(gsol.columns)
         shared = sorted(set(sol.columns) & gvars)
         if not shared:
@@ -2303,11 +2334,11 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     where_subj_vars = set()
     wq = parse_sparql("SELECT * " + m.group(2))
     union_pats = [p for block in wq["unions"] for b in block for p in b]
-    group_pats = [p for g in wq.get("optional_groups", ()) for p in g]
-    for s, _, _ in (*wq["patterns"], *wq["optional"], *union_pats,
-                    *group_pats):
-        if s.startswith("?"):
-            where_subj_vars.add(s[1:])
+    group_pats = [p for g, _gf in wq.get("optional_groups", ()) for p in g]
+    for pat in (*wq["patterns"], *wq["optional"], *union_pats, *group_pats):
+        # pat may be a 4-tuple (GRAPH quad); the subject is pat[0]
+        if pat[0].startswith("?"):
+            where_subj_vars.add(pat[0][1:])
 
     def term(t, pos):
         if t.startswith("?"):

@@ -2009,3 +2009,47 @@ def test_sparql_filterfns_leg_plan_no_nested_loop(spark, tmp_path):
     ), pp
     rows = sorted((r.e, r.n, r.s) for r in out.collect())
     assert rows == [("ent:1", "Ada", "Ada"), ("ent:2", "Paris", "Par")]
+
+
+def test_sparql_optional_filter_left_join_condition(spark):
+    """OPTIONAL { P FILTER C } — the left-join-condition idiom:
+    solutions keep their row with the optional vars unbound when the
+    group (patterns + filter) has no compatible match; the filter
+    never eliminates outer rows."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _kg(spark),
+        "SELECT ?e ?n ?big WHERE { ?e name ?n "
+        "OPTIONAL { ?e name ?big FILTER (STRLEN(?big) > 4) } } "
+        "ORDER BY ?e",
+    ).collect()
+    # Ada (len 3) fails the group filter -> ?big unbound, row survives
+    assert [(r.e, r.n, r.big) for r in rows] == [
+        ("ent:1", "Ada", None), ("ent:2", "Paris", "Paris"),
+    ]
+    # single-pattern OPTIONAL with a filter routes through the group
+    # path too (all-or-nothing with its condition)
+    rows = sparql_query(
+        _kg(spark),
+        'SELECT ?d ?e ?t WHERE { ?d mentions ?e '
+        'OPTIONAL { ?e "@type" ?t FILTER (?t != "Place") } } '
+        "ORDER BY ?d ?e",
+    ).collect()
+    assert [(r.d, r.e, r.t) for r in rows] == [
+        ("doc:1", "ent:1", "Person"), ("doc:1", "ent:2", None),
+        ("doc:2", "ent:2", None),
+    ]
+
+
+def test_sparql_optional_filter_outer_var_refused(spark):
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    with _pt.raises(ValueError, match="group's own variables"):
+        sparql_query(
+            _kg(spark),
+            "SELECT ?e WHERE { ?e name ?n "
+            "OPTIONAL { ?e nosuch ?x FILTER (?n = \"Ada\") } }",
+        )
