@@ -714,7 +714,10 @@ def parse_sparql(text: str) -> dict:
     ("regex", var, pat, flags) | ("bound", var, positive), interior
     nodes ("and"|"or", l, r) and ("not", e) from &&/||/!(...).
     ``unions`` is a list of blocks, each a
-    list of branch pattern-lists; ``minus`` a list of pattern-lists;
+    list of (branch-patterns, branch-filters) pairs; ``minus`` a list
+    of (patterns, filters) pairs; ``exists`` entries are
+    (positive, patterns, filters) — every group form carries its own
+    FILTERs, scoped to the group;
     ``values`` a list of (vars, rows) with None for UNDEF; ``binds`` a
     list of (var, scalar-ast) from BIND(expr AS ?v).  Sequence
     property paths ``p/q`` are rewritten here into pattern chains
@@ -1053,10 +1056,18 @@ def parse_sparql(text: str) -> dict:
     subqueries: list[str] = []
 
     def braced_block():
+        # { tp ... [FILTER (...)] ... } — every group form may carry
+        # FILTERs, scoped to the group (patterns and filters may
+        # interleave per the spec's group grammar)
         take("{")
         pats = triple_block()
+        filts = []
+        while peek() is not None and peek().upper() == "FILTER":
+            take()
+            filts.append(filter_expr())
+            pats.extend(triple_block())
         take("}")
-        return pats
+        return pats, filts
 
     def values_block():
         """VALUES ?v { t ... }  |  VALUES (?a ?b) { (t t) ... }"""
@@ -1106,17 +1117,9 @@ def parse_sparql(text: str) -> dict:
             raise ValueError("unterminated WHERE group")
         if t.upper() == "OPTIONAL":
             take()
-            # OPTIONAL { tp ... [FILTER (...)] ... } — the group may
-            # carry FILTERs (the left-join-condition idiom); patterns
-            # and filters may interleave per the spec's group grammar
-            take("{")
-            blk = triple_block()
-            gfilts = []
-            while peek() is not None and peek().upper() == "FILTER":
-                take()
-                gfilts.append(filter_expr())
-                blk.extend(triple_block())
-            take("}")
+            # OPTIONAL { tp ... [FILTER (...)] ... } — group FILTERs
+            # are the left-join-condition idiom
+            blk, gfilts = braced_block()
             if not blk:
                 raise ValueError("empty OPTIONAL group")
             if len(blk) == 1 and not gfilts:
@@ -1135,10 +1138,10 @@ def parse_sparql(text: str) -> dict:
                 take()
                 if neg:
                     take("EXISTS")
-                pats = braced_block()
+                pats, efilts = braced_block()
                 if not pats:
                     raise ValueError("empty EXISTS group")
-                exists.append((not neg, pats))
+                exists.append((not neg, pats, efilts))
             else:
                 filters.append(filter_expr())
         elif t == "{" and pos + 1 < len(toks) and (
@@ -1172,15 +1175,15 @@ def parse_sparql(text: str) -> dict:
             while peek() is not None and peek().upper() == "UNION":
                 take()
                 branches.append(braced_block())
-            if any(not b for b in branches):
+            if any(not bp for bp, _bf in branches):
                 raise ValueError("empty UNION branch")
             unions.append(branches)
         elif t.upper() == "MINUS":
             take()
-            got = braced_block()
+            got, mfilts = braced_block()
             if not got:
                 raise ValueError("empty MINUS group")
-            minus.append(got)
+            minus.append((got, mfilts))
         elif t.upper() == "VALUES":
             take()
             values.append(values_block())
@@ -1213,9 +1216,12 @@ def parse_sparql(text: str) -> dict:
                 raise ValueError(
                     f"variable name {gterm!r} uses the reserved __seq prefix"
                 )
-            blk = braced_block()
+            blk, gfilts2 = braced_block()
             if not blk:
                 raise ValueError("empty GRAPH group")
+            # a GRAPH block is part of the required (inner-join) group,
+            # so its FILTERs are exactly WHERE-level filters
+            filters.extend(gfilts2)
             for s, p, o in blk:
                 if p.startswith("?"):
                     pass  # variable predicate is fine
@@ -1624,6 +1630,27 @@ def _compat_join(
     return j.select(*out_cols)
 
 
+def _group_sol(src, pats, filts, where: str, **bgp_kwargs):
+    """Compile one group's (patterns, filters) to a solution.  Group
+    FILTERs are scoped to the group per the spec; with the additional
+    restriction that they reference only group-bound variables,
+    applying them inside the group is exact for every group form
+    (UNION branch / MINUS / EXISTS: the group evaluates on its own
+    bindings; outer-substitution filters are refused loudly)."""
+    gsol = bgp_query(src, pats, **bgp_kwargs)
+    if filts:
+        own = _pattern_vars(pats)
+        for f in filts:
+            extra = _filter_vars(f) - own
+            if extra:
+                raise ValueError(
+                    f"FILTER inside {where} may only reference the "
+                    f"group's own variables (got ?{sorted(extra)[0]})"
+                )
+        gsol = _apply_filters(gsol, filts)
+    return gsol
+
+
 def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     """Compile a parsed WHERE group to a solution DataFrame (one column
     per bound variable).  Group algebra, Spark-first:
@@ -1656,11 +1683,11 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     for g, _gf in q.get("optional_groups", ()):
         all_pats.extend(g)
     for branches in q["unions"]:
-        for b in branches:
+        for b, _bf in branches:
             all_pats.extend(b)
-    for m in q["minus"]:
+    for m, _mf in q["minus"]:
         all_pats.extend(m)
-    for _, e in q["exists"]:
+    for _, e, _ef in q["exists"]:
         all_pats.extend(e)
     if any(len(pat) > 3 for pat in all_pats):
         # GRAPH (quad) patterns: expose the caller-named provenance
@@ -1733,13 +1760,13 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         nullable |= gvars - set(shared)
 
     for branches in q["unions"]:
-        branch_vars = [_pattern_vars(b) for b in branches]
+        branch_vars = [_pattern_vars(bp) for bp, _bf in branches]
         block_vars = set().union(*branch_vars)
         bound_in_all = set.intersection(*branch_vars)
         if sol is None:
             padded = []
-            for b in branches:
-                bsol = bgp_query(src, b, **bgp_kwargs)
+            for bp, bf in branches:
+                bsol = _group_sol(src, bp, bf, "a UNION branch", **bgp_kwargs)
                 padded.append(
                     bsol.select(*[
                         F.col(v) if v in bsol.columns
@@ -1765,8 +1792,8 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             # is exact AND joins the solution subtree ONCE instead of
             # once per branch.
             padded = []
-            for b in branches:
-                bsol = bgp_query(src, b, **bgp_kwargs)
+            for bp, bf in branches:
+                bsol = _group_sol(src, bp, bf, "a UNION branch", **bgp_kwargs)
                 padded.append(
                     bsol.select(*[
                         F.col(v) if v in bsol.columns
@@ -1789,12 +1816,12 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
         # merged binding via coalesce) instead of dropping NULL rows.
         out_vars = sorted(set(sol.columns) | block_vars)
         parts = []
-        for b, bvars in zip(branches, branch_vars):
-            bsol = bgp_query(src, b, **bgp_kwargs)
+        for (bp, bf), bvars in zip(branches, branch_vars):
+            bsol = _group_sol(src, bp, bf, "a UNION branch", **bgp_kwargs)
             shared = sorted(set(sol.columns) & set(bsol.columns))
             if not shared:
                 raise ValueError(
-                    f"UNION branch {b} shares no variable with the rest "
+                    f"UNION branch {bp} shares no variable with the rest "
                     "of the group (cross product)"
                 )
             if set(shared) & nullable:
@@ -1878,8 +1905,8 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
     if sol is None:
         raise ValueError("WHERE group binds nothing")
 
-    for mpats in q["minus"]:
-        msol = bgp_query(src, mpats, **bgp_kwargs)
+    for mpats, mfilts in q["minus"]:
+        msol = _group_sol(src, mpats, mfilts, "MINUS", **bgp_kwargs)
         shared = sorted(set(sol.columns) & set(msol.columns))
         null_shared = sorted(set(shared) & nullable)
         if shared and null_shared:
@@ -1911,8 +1938,8 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
                 how="left_anti",
             )
 
-    for positive, epats in q["exists"]:
-        esol = bgp_query(src, epats, **bgp_kwargs)
+    for positive, epats, efilts in q["exists"]:
+        esol = _group_sol(src, epats, efilts, "EXISTS", **bgp_kwargs)
         shared = sorted(set(sol.columns) & set(esol.columns))
         null_shared = sorted(set(shared) & nullable)
         if shared and null_shared:
@@ -2333,7 +2360,9 @@ def sparql_construct(triples: DataFrame, text: str, **bgp_kwargs) -> DataFrame:
     subj_vars = {p[0][1:] for p in tmpl if p[0].startswith("?")}
     where_subj_vars = set()
     wq = parse_sparql("SELECT * " + m.group(2))
-    union_pats = [p for block in wq["unions"] for b in block for p in b]
+    union_pats = [
+        p for block in wq["unions"] for bp, _bf in block for p in bp
+    ]
     group_pats = [p for g, _gf in wq.get("optional_groups", ()) for p in g]
     for pat in (*wq["patterns"], *wq["optional"], *union_pats, *group_pats):
         # pat may be a 4-tuple (GRAPH quad); the subject is pat[0]

@@ -485,9 +485,9 @@ def test_parse_sparql_union_minus_values():
         "FILTER (!bound(?x)) }"
     )
     assert q["unions"] == [
-        [[("?d", "mentions", "?e")], [("?d", "locations", "?e")]]
+        [([("?d", "mentions", "?e")], []), ([("?d", "locations", "?e")], [])]
     ]
-    assert q["minus"] == [[("?d", "about", "?x")]]
+    assert q["minus"] == [([("?d", "about", "?x")], [])]
     assert q["values"] == [
         (["t"], [("Person",), (None,), ("two words",)]),
         (["a", "b"], [("x", "y"), (None, "z")]),
@@ -2052,4 +2052,50 @@ def test_sparql_optional_filter_outer_var_refused(spark):
             _kg(spark),
             "SELECT ?e WHERE { ?e name ?n "
             "OPTIONAL { ?e nosuch ?x FILTER (?n = \"Ada\") } }",
+        )
+
+
+def test_sparql_group_filters_in_union_minus_exists_graph(spark):
+    """Group-scoped FILTERs in every group form: a UNION branch keeps
+    only its own filtered rows; MINUS removes only filtered matches;
+    EXISTS tests the filtered group; a GRAPH-block filter is a
+    WHERE-level filter (inner-join equivalence)."""
+    from kgc.graph import sparql_query
+
+    kg = _kg(spark)
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?e ?n WHERE { '
+        '{ ?e name ?n FILTER (STRLEN(?n) > 4) } UNION '
+        '{ ?e "@type" ?n FILTER (?n = "Person") } } ORDER BY ?e ?n',
+    ).collect()
+    assert [(r.e, r.n) for r in rows] == [
+        ("ent:1", "Person"), ("ent:2", "Paris"),
+    ]
+    rows = sparql_query(
+        kg,
+        'SELECT DISTINCT ?d ?e WHERE { ?d mentions ?e '
+        'MINUS { ?d mentions ?x FILTER (?x = "ent:1") } } ORDER BY ?d ?e',
+    ).collect()
+    # doc:1 mentions ent:1 -> removed entirely; doc:2 survives
+    assert [(r.d, r.e) for r in rows] == [("doc:2", "ent:2")]
+    rows = sparql_query(
+        kg,
+        "SELECT DISTINCT ?d WHERE { ?d mentions ?e "
+        'FILTER EXISTS { ?d mentions ?p FILTER (?p = "ent:1") } }',
+    ).collect()
+    assert [r.d for r in rows] == ["doc:1"]
+    rows = sparql_query(
+        _quads(spark),
+        "SELECT DISTINCT ?g ?n WHERE { "
+        "GRAPH ?g { ?e name ?n FILTER (STRLEN(?n) < 4) } }",
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [("d1", "Ada"), ("d2", "Ada")]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="UNION branch"):
+        sparql_query(
+            kg,
+            "SELECT ?e WHERE { ?e name ?n "
+            "{ ?e p ?a FILTER (?n = \"x\") } UNION { ?e q ?a } }",
         )
