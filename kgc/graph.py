@@ -1086,6 +1086,11 @@ def parse_sparql(text: str) -> dict:
                 row = []
                 while peek() is not None and peek() != ")":
                     tok = take()
+                    if tok in "(,{.":
+                        raise ValueError(
+                            f"unexpected {tok!r} in VALUES row (terms are "
+                            "space-separated)"
+                        )
                     row.append(
                         None if tok.upper() == "UNDEF" else _sparql_unquote(tok)
                     )
@@ -1105,6 +1110,11 @@ def parse_sparql(text: str) -> dict:
             rows = []
             while peek() is not None and peek() != "}":
                 tok = take()
+                if tok in "(),.":
+                    raise ValueError(
+                        f"unexpected {tok!r} in VALUES block (terms are "
+                        "space-separated)"
+                    )
                 rows.append(
                     (None if tok.upper() == "UNDEF" else _sparql_unquote(tok),)
                 )

@@ -2099,3 +2099,18 @@ def test_sparql_group_filters_in_union_minus_exists_graph(spark):
             "SELECT ?e WHERE { ?e name ?n "
             "{ ?e p ?a FILTER (?n = \"x\") } UNION { ?e q ?a } }",
         )
+
+
+def test_sparql_values_rejects_commas_loudly(spark):
+    """VALUES terms are space-separated per the spec; a comma (now its
+    own token) must fail loudly instead of riding in as a term."""
+    import pytest as _pt
+
+    from kgc.graph import parse_sparql
+
+    with _pt.raises(ValueError, match="VALUES"):
+        parse_sparql("SELECT ?v WHERE { ?a p ?v VALUES ?v { x, y } }")
+    with _pt.raises(ValueError, match="VALUES row"):
+        parse_sparql(
+            "SELECT ?a WHERE { ?a p ?b VALUES (?a ?b) { (x, y) } }"
+        )
