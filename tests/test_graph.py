@@ -2114,3 +2114,33 @@ def test_sparql_values_rejects_commas_loudly(spark):
         parse_sparql(
             "SELECT ?a WHERE { ?a p ?b VALUES (?a ?b) { (x, y) } }"
         )
+
+
+def test_sparql_path_outside_graph_block_composes(spark):
+    """A closure path in the default graph composes with a GRAPH block
+    in the same query: the derived path edges carry a NULL provenance
+    pad (never read — path legs are 3-term) while quad legs join the
+    real column."""
+    from kgc.graph import sparql_query
+
+    rows = sparql_query(
+        _quads(spark),
+        "SELECT DISTINCT ?g ?e ?x WHERE { "
+        "GRAPH ?g { ?d mentions ?e } . ?d mentions+ ?x } ORDER BY ?g",
+    ).collect()
+    assert [(r.g, r.e, r.x) for r in rows] == [
+        ("d1", "ent:1", "ent:1"), ("d2", "ent:1", "ent:1"),
+    ]
+
+
+def test_sparql_aggregate_group_by_bind_var(spark):
+    """GROUP BY over a BIND-computed variable — binding happens in the
+    solved group, before the hash aggregate."""
+    from kgc.graph import sparql_aggregate
+
+    rows = sparql_aggregate(
+        _kg(spark),
+        "SELECT ?l (COUNT(?e) AS ?n) WHERE { ?e name ?n2 "
+        "BIND (STRLEN(?n2) AS ?l) } GROUP BY ?l ORDER BY ?l",
+    ).collect()
+    assert [(r.l, r.n) for r in rows] == [(3, 1), (5, 1)]
