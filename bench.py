@@ -237,6 +237,21 @@ def main() -> None:
         ),
     ))
 
+    # r5-finale surface at KG scale: string-test + IN filters and an
+    # IF/STRLEN bind over the same staged KG — all Catalyst built-ins
+    # (zero UDFs), so this leg times the scalar/filter compilation
+    # machinery inside whole-stage codegen.
+    jobs.append((
+        "sparql_scalar",
+        sparql_query(
+            spark.read.parquet(kg_dir),
+            """SELECT DISTINCT ?e ?tag WHERE {
+                 ?e "@type" ?t . ?e name ?n .
+                 FILTER (?t IN ("Person", "Place") && CONTAINS(?n, "1"))
+                 BIND (IF(STRLEN(?n) > 8, "long", "short") AS ?tag) }""",
+        ),
+    ))
+
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
     run_control("start")
     for pass_i in range(n_passes):
