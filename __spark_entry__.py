@@ -310,33 +310,11 @@ def _triples_from_linked(linked: DataFrame) -> DataFrame:
 
 
 def _quads_from_linked(linked: DataFrame) -> DataFrame:
-    """Named-graph quad unfold: the same E3 triple shape as
-    _triples_from_linked, but every triple keeps its ASSERTING document
-    as the graph column — real provenance (each edge/@type/name triple
-    is produced by one linked mention in one doc), and the input shape
-    for sparql_query's GRAPH clause (graph_col=\"graph\").  Note the
-    name quads are per-graph: the alias asserted in THAT document."""
-    pred = (
-        F.when(F.col("entity_type") == "Person", F.lit("mentions"))
-        .when(F.col("entity_type") == "Place", F.lit("locations"))
-        .when(F.col("entity_type") == "Event", F.lit("events"))
-        .otherwise(F.lit("about"))
-    )
-    g = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
-    ent = F.concat(F.lit("ent:"), F.col("entity_id"))
-    edges = linked.select(
-        g.alias("graph"), g.alias("subj"), pred.alias("pred"),
-        ent.alias("obj"),
-    )
-    typing = linked.select(
-        g.alias("graph"), ent.alias("subj"), F.lit("@type").alias("pred"),
-        F.col("entity_type").alias("obj"),
-    )
-    naming = linked.select(
-        g.alias("graph"), ent.alias("subj"), F.lit("name").alias("pred"),
-        F.col("alias").alias("obj"),
-    )
-    return edges.unionByName(typing).unionByName(naming).dropDuplicates()
+    """Named-graph quad unfold — kgc.triples.quads_from_linked (the
+    library API the GRAPH legs consume)."""
+    from kgc.triples import quads_from_linked
+
+    return quads_from_linked(linked)
 
 
 def q_entity_triples(spark, sf_dir):

@@ -558,6 +558,41 @@ def render_jsonld(triples: DataFrame) -> DataFrame:
     )
 
 
+def quads_from_linked(linked: DataFrame) -> DataFrame:
+    """Provenance quad unfold of a linked-mention table: the E3-shape
+    doc→entity edge plus the entity's @type and name assertion, each
+    carrying its ASSERTING document as ``graph`` — real named-graph
+    provenance (every triple a linked mention produces is asserted BY
+    one document; the name quad is the alias asserted in THAT doc).
+    The input shape is the entity-link output (doc_id, entity_id,
+    entity_type, alias); output (graph, subj, pred, obj), deduplicated
+    per RDF dataset semantics.  Feed to kgc.graph.sparql_query with
+    ``graph_col="graph"`` for GRAPH-clause queries ("which document
+    asserted this?").  Predicate taxonomy per the reference's E3 rules
+    (internal/jsonld/converter.go:252-339)."""
+    pred = (
+        F.when(F.col("entity_type") == "Person", F.lit("mentions"))
+        .when(F.col("entity_type") == "Place", F.lit("locations"))
+        .when(F.col("entity_type") == "Event", F.lit("events"))
+        .otherwise(F.lit("about"))
+    )
+    g = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    ent = F.concat(F.lit("ent:"), F.col("entity_id"))
+    edges = linked.select(
+        g.alias("graph"), g.alias("subj"), pred.alias("pred"),
+        ent.alias("obj"),
+    )
+    typing = linked.select(
+        g.alias("graph"), ent.alias("subj"), F.lit("@type").alias("pred"),
+        F.col("entity_type").alias("obj"),
+    )
+    naming = linked.select(
+        g.alias("graph"), ent.alias("subj"), F.lit("name").alias("pred"),
+        F.col("alias").alias("obj"),
+    )
+    return edges.unionByName(typing).unionByName(naming).dropDuplicates()
+
+
 def kg_diff(
     old: DataFrame,
     new: DataFrame,

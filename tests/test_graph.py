@@ -2144,3 +2144,26 @@ def test_sparql_aggregate_group_by_bind_var(spark):
         "BIND (STRLEN(?n2) AS ?l) } GROUP BY ?l ORDER BY ?l",
     ).collect()
     assert [(r.l, r.n) for r in rows] == [(3, 1), (5, 1)]
+
+
+def test_quads_from_linked_library_api(spark):
+    from kgc.graph import sparql_query
+    from kgc.triples import quads_from_linked
+
+    linked = spark.createDataFrame(
+        [(1, "e1", "Person", "Ada"), (2, "e1", "Person", "Ada L"),
+         (2, "e2", "Event", "Gala")],
+        "doc_id int, entity_id string, entity_type string, alias string",
+    )
+    quads = quads_from_linked(linked)
+    assert quads.columns == ["graph", "subj", "pred", "obj"]
+    rows = sparql_query(
+        quads,
+        "SELECT DISTINCT ?g ?n WHERE { GRAPH ?g { ?d mentions ?e . "
+        "?e name ?n } } ORDER BY ?g",
+        graph_col="graph",
+    ).collect()
+    # per-graph names: doc:2 asserts the "Ada L" alias, doc:1 "Ada"
+    assert [(r.g, r.n) for r in rows] == [
+        ("doc:1", "Ada"), ("doc:2", "Ada L"),
+    ]
