@@ -2000,6 +2000,16 @@ def _solve_where(triples: DataFrame, q: dict, **bgp_kwargs) -> DataFrame:
             # NULL (SPARQL: error → unbound) — conservative is safe
             nullable.add(name)
 
+    for f in q["filters"]:
+        missing = _filter_vars(f) - set(sol.columns)
+        if missing:
+            # a WHERE-level FILTER over a never-bound variable is a
+            # query bug every time (spec: constant error -> empty
+            # result); loud beats silently empty at 10^12 rows
+            raise ValueError(
+                f"FILTER references variable ?{sorted(missing)[0]} "
+                "which is never bound in the group"
+            )
     return _apply_filters(sol, q["filters"]), nullable
 
 

@@ -2167,3 +2167,18 @@ def test_quads_from_linked_library_api(spark):
     assert [(r.g, r.n) for r in rows] == [
         ("doc:1", "Ada"), ("doc:2", "Ada L"),
     ]
+
+
+def test_sparql_filter_never_bound_var_loud(spark):
+    """A WHERE-level FILTER over a variable no group member binds is a
+    query bug — loud ValueError, not an opaque unresolved-column error
+    (found by the differential property test)."""
+    import pytest as _pt
+
+    from kgc.graph import sparql_query
+
+    with _pt.raises(ValueError, match="never bound"):
+        sparql_query(
+            _kg(spark),
+            'SELECT ?e WHERE { ?e name ?n FILTER (?zz = "x") }',
+        )

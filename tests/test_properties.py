@@ -176,3 +176,213 @@ class TestSparqlParserTotality:
             parse_sparql("SELECT ?a WHERE { ?a p ?b . " + tail)
         except ValueError:
             pass
+
+
+class TestSparqlDifferential:
+    """Differential testing of the SPARQL ALGEBRA: random tiny KGs and
+    random connected queries, evaluated by the engine (_solve_where on
+    a hand-built q dict — the parser has its own totality fuzz) AND by
+    a naive nested-loop reference evaluator with spec bag semantics.
+    Covers the join planner's selectivity reorder, flat-OPTIONAL left
+    joins, UNION distribution (fast and general paths), the
+    compatibility join over possibly-unbound shared variables (the
+    r4-advice fix), and FILTER error-propagation (unbound → drop)."""
+
+    _SUBS = ["s0", "s1", "s2"]
+    _PREDS = ["p0", "p1"]
+    _OBJS = ["o0", "o1", "s0", "s1"]  # overlap with subjects → chains
+
+    # ---- naive reference evaluator (bag semantics) ----
+
+    @staticmethod
+    def _match(pat, row, binding, unbound_matches=False):
+        b = dict(binding)
+        for term, val in zip(pat, row):
+            if term.startswith("?"):
+                name = term[1:]
+                if name in b:
+                    if b[name] is None:
+                        if not unbound_matches:
+                            return None
+                        b[name] = val
+                    elif b[name] != val:
+                        return None
+                else:
+                    b[name] = val
+            elif term != val:
+                return None
+        return b
+
+    @classmethod
+    def _solve_bgp(cls, rows, pats):
+        sols = [dict()]
+        for pat in pats:
+            sols = [
+                m for b in sols for row in rows
+                if (m := cls._match(pat, row, b)) is not None
+            ]
+        return sols
+
+    @classmethod
+    def _naive(cls, rows, required, optionals, union_block, filters):
+        sols = cls._solve_bgp(rows, required)
+        for opt in optionals:
+            ovars = [t[1:] for t in opt if t.startswith("?")]
+            nxt = []
+            for b in sols:
+                ms = [
+                    m for row in rows
+                    if (m := cls._match(opt, row, b)) is not None
+                ]
+                if ms:
+                    nxt.extend(ms)
+                else:
+                    b2 = dict(b)
+                    for v in ovars:
+                        b2.setdefault(v, None)
+                    nxt.append(b2)
+            sols = nxt
+        if union_block:
+            block_vars = sorted({
+                t[1:] for bp in union_block for t in bp if t.startswith("?")
+            })
+            block = []
+            for bp in union_block:
+                for u in cls._solve_bgp(rows, [bp]):
+                    block.append({v: u.get(v) for v in block_vars})
+            nxt = []
+            for b in sols:
+                for u in block:
+                    shared = [v for v in block_vars if v in b]
+                    if all(
+                        b[v] is None or u[v] is None or b[v] == u[v]
+                        for v in shared
+                    ):
+                        merged = dict(b)
+                        for v in block_vars:
+                            if merged.get(v) is None:
+                                merged[v] = u[v]
+                        nxt.append(merged)
+            sols = nxt
+        for var, op, const in filters:
+            import operator as _op
+
+            f = {"=": _op.eq, "!=": _op.ne, "<": _op.lt, ">": _op.gt}[op]
+            sols = [
+                b for b in sols
+                if b.get(var) is not None and f(b[var], const)
+            ]
+        return sols
+
+    # ---- strategies ----
+
+    @staticmethod
+    def _term(draw, pool, vars_, p_var):
+        import hypothesis.strategies as _st
+
+        if draw(_st.floats(0, 1)) < p_var:
+            return "?" + draw(_st.sampled_from(vars_))
+        return draw(_st.sampled_from(pool))
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_engine_equals_naive(self, spark, data):
+        from kgc.graph import _finish_select, _solve_where
+
+        draw = data.draw
+        rows = draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(self._SUBS),
+                    st.sampled_from(self._PREDS),
+                    st.sampled_from(self._OBJS),
+                ),
+                min_size=0, max_size=10,
+            )
+        )
+        vars_ = ["a", "b", "c"]
+        p1 = (
+            self._term(draw, self._SUBS, vars_[:1], 0.8),
+            draw(st.sampled_from(self._PREDS)),
+            self._term(draw, self._OBJS, vars_[1:2], 0.8),
+        )
+        req_vars = [t[1:] for t in p1 if t.startswith("?")]
+        if not req_vars:
+            # keep the group connectable: force one variable
+            p1 = (p1[0], p1[1], "?b")
+            req_vars = ["b"]
+        required = [p1]
+        if draw(st.booleans()):
+            shared = draw(st.sampled_from(req_vars))
+            p2 = (
+                "?" + shared,
+                draw(st.sampled_from(self._PREDS)),
+                self._term(draw, self._OBJS, ["c"], 0.7),
+            )
+            required.append(p2)
+            req_vars = sorted({
+                t[1:] for p in required for t in p if t.startswith("?")
+            })
+        optionals = []
+        if draw(st.booleans()):
+            shared = draw(st.sampled_from(req_vars))
+            optionals.append((
+                "?" + shared, draw(st.sampled_from(self._PREDS)), "?optv",
+            ))
+        all_vars = req_vars + (["optv"] if optionals else [])
+        union_block = None
+        if draw(st.booleans()):
+            # each branch shares >= 1 var with the solution; the shared
+            # var may be the OPTIONAL one (nullable -> compat join)
+            branches = []
+            for _ in range(2):
+                shared = draw(st.sampled_from(all_vars))
+                branches.append((
+                    "?" + shared,
+                    draw(st.sampled_from(self._PREDS)),
+                    self._term(draw, self._OBJS, ["u"], 0.5),
+                ))
+            union_block = branches
+        filters = []
+        if draw(st.booleans()):
+            filters.append((
+                draw(st.sampled_from(req_vars)),
+                draw(st.sampled_from(["=", "!=", "<", ">"])),
+                draw(st.sampled_from(self._OBJS)),
+            ))
+
+        df = spark.createDataFrame(
+            rows or [("zz", "zz", "zz")],  # createDataFrame needs >=1 row
+            "subj string, pred string, obj string",
+        )
+        if not rows:
+            df = df.filter("subj <> 'zz'")
+        q = {
+            "select": None, "distinct": False,
+            "patterns": required, "optional": list(optionals),
+            "optional_groups": [], "filters": [
+                ("cmp", "?" + v, op, c) for v, op, c in filters
+            ],
+            "order": [], "limit": None, "offset": None,
+            "unions": [[([b], []) for b in union_block]] if union_block else [],
+            "minus": [], "values": [], "exists": [], "binds": [],
+            "subqueries": [],
+        }
+        sol, nullable = _solve_where(df, q)
+        sol, _ = _finish_select(sol, q, nullable)
+        def keyed(rows_):
+            return sorted(
+                rows_,
+                key=lambda t: [(k, v is None, v or "") for k, v in t],
+            )
+
+        got = keyed(
+            tuple(sorted(r.asDict().items())) for r in sol.collect()
+        )
+        want_rows = self._naive(rows, required, optionals, union_block, filters)
+        cols = set(sol.columns)
+        want = keyed(
+            tuple(sorted((k, v) for k, v in b.items() if k in cols))
+            for b in want_rows
+        )
+        assert got == want, (rows, q, got, want)
