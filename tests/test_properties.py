@@ -224,7 +224,41 @@ class TestSparqlDifferential:
         return sols
 
     @classmethod
-    def _naive(cls, rows, required, optionals, union_block, filters):
+    def _naive_minus(cls, rows, sols, mpat):
+        mvars = {t[1:] for t in mpat if t.startswith("?")}
+        msols = cls._solve_bgp(rows, [mpat])
+        out = []
+        for b in sols:
+            shared = [v for v in mvars if v in b]
+            if not shared:
+                out.append(b)  # disjoint domains: MINUS removes nothing
+                continue
+            hit = any(
+                all(b[v] is None or b[v] == m[v] for v in shared)
+                and any(b[v] is not None for v in shared)  # dom overlap
+                for m in msols
+            )
+            if not hit:
+                out.append(b)
+        return out
+
+    @classmethod
+    def _naive_exists(cls, rows, sols, positive, epat):
+        evars = {t[1:] for t in epat if t.startswith("?")}
+        out = []
+        for b in sols:
+            shared = [v for v in evars if v in b]
+            sub = {v: b[v] for v in shared if b[v] is not None}
+            sat = any(
+                cls._match(epat, row, sub) is not None for row in rows
+            )
+            if sat == positive:
+                out.append(b)
+        return out
+
+    @classmethod
+    def _naive(cls, rows, required, optionals, union_block, minus_pat,
+               exists_spec, filters):
         sols = cls._solve_bgp(rows, required)
         for opt in optionals:
             ovars = [t[1:] for t in opt if t.startswith("?")]
@@ -264,6 +298,10 @@ class TestSparqlDifferential:
                                 merged[v] = u[v]
                         nxt.append(merged)
             sols = nxt
+        if minus_pat is not None:
+            sols = cls._naive_minus(rows, sols, minus_pat)
+        if exists_spec is not None:
+            sols = cls._naive_exists(rows, sols, *exists_spec)
         for var, op, const in filters:
             import operator as _op
 
@@ -343,6 +381,25 @@ class TestSparqlDifferential:
                     self._term(draw, self._OBJS, ["u"], 0.5),
                 ))
             union_block = branches
+        minus_pat = None
+        if draw(st.booleans()):
+            shared = draw(st.sampled_from(all_vars))
+            minus_pat = (
+                "?" + shared,
+                draw(st.sampled_from(self._PREDS)),
+                self._term(draw, self._OBJS, ["m"], 0.5),
+            )
+        exists_spec = None
+        if draw(st.booleans()):
+            shared = draw(st.sampled_from(all_vars))
+            exists_spec = (
+                draw(st.booleans()),
+                (
+                    "?" + shared,
+                    draw(st.sampled_from(self._PREDS)),
+                    self._term(draw, self._OBJS, ["x"], 0.5),
+                ),
+            )
         filters = []
         if draw(st.booleans()):
             filters.append((
@@ -365,8 +422,12 @@ class TestSparqlDifferential:
             ],
             "order": [], "limit": None, "offset": None,
             "unions": [[([b], []) for b in union_block]] if union_block else [],
-            "minus": [], "values": [], "exists": [], "binds": [],
-            "subqueries": [],
+            "minus": [([minus_pat], [])] if minus_pat is not None else [],
+            "values": [],
+            "exists": [
+                (exists_spec[0], [exists_spec[1]], [])
+            ] if exists_spec is not None else [],
+            "binds": [], "subqueries": [],
         }
         sol, nullable = _solve_where(df, q)
         sol, _ = _finish_select(sol, q, nullable)
@@ -379,7 +440,10 @@ class TestSparqlDifferential:
         got = keyed(
             tuple(sorted(r.asDict().items())) for r in sol.collect()
         )
-        want_rows = self._naive(rows, required, optionals, union_block, filters)
+        want_rows = self._naive(
+            rows, required, optionals, union_block, minus_pat,
+            exists_spec, filters,
+        )
         cols = set(sol.columns)
         want = keyed(
             tuple(sorted((k, v) for k, v in b.items() if k in cols))
