@@ -257,8 +257,8 @@ class TestSparqlDifferential:
         return out
 
     @classmethod
-    def _naive(cls, rows, required, optionals, union_block, minus_pat,
-               exists_spec, filters):
+    def _naive(cls, rows, required, optionals, union_block, values_spec,
+               minus_pat, exists_spec, binds, distinct, filters):
         sols = cls._solve_bgp(rows, required)
         for opt in optionals:
             ovars = [t[1:] for t in opt if t.startswith("?")]
@@ -298,10 +298,32 @@ class TestSparqlDifferential:
                                 merged[v] = u[v]
                         nxt.append(merged)
             sols = nxt
+        if values_spec is not None:
+            vvars, vrows = values_spec
+            nxt = []
+            for b in sols:
+                for vr in vrows:
+                    u = dict(zip(vvars, vr))
+                    if all(
+                        b.get(v) is None or u[v] is None or b[v] == u[v]
+                        for v in vvars if v in b
+                    ):
+                        merged = dict(b)
+                        for v in vvars:
+                            if merged.get(v) is None:
+                                merged[v] = u[v]
+                        nxt.append(merged)
+            sols = nxt
         if minus_pat is not None:
             sols = cls._naive_minus(rows, sols, minus_pat)
         if exists_spec is not None:
             sols = cls._naive_exists(rows, sols, *exists_spec)
+        for new_var, src_var, suffix in binds:
+            sols = [
+                {**b, new_var: (None if b.get(src_var) is None
+                                else b[src_var] + suffix)}
+                for b in sols
+            ]
         for var, op, const in filters:
             import operator as _op
 
@@ -310,6 +332,14 @@ class TestSparqlDifferential:
                 b for b in sols
                 if b.get(var) is not None and f(b[var], const)
             ]
+        if distinct:
+            seen, out = set(), []
+            for b in sols:
+                key = tuple(sorted(b.items(), key=lambda kv: kv[0]))
+                if key not in seen:
+                    seen.add(key)
+                    out.append(b)
+            sols = out
         return sols
 
     # ---- strategies ----
@@ -381,6 +411,24 @@ class TestSparqlDifferential:
                     self._term(draw, self._OBJS, ["u"], 0.5),
                 ))
             union_block = branches
+        values_spec = None
+        if draw(st.booleans()):
+            vvars = [draw(st.sampled_from(all_vars))]
+            vrows = draw(
+                st.lists(
+                    st.tuples(
+                        st.one_of(st.none(), st.sampled_from(self._OBJS))
+                    ),
+                    min_size=1, max_size=3,
+                )
+            )
+            values_spec = (vvars, vrows)
+        binds = []
+        if draw(st.booleans()):
+            binds.append((
+                "bv", draw(st.sampled_from(all_vars)), "_sfx",
+            ))
+        distinct = draw(st.booleans())
         minus_pat = None
         if draw(st.booleans()):
             shared = draw(st.sampled_from(all_vars))
@@ -415,7 +463,7 @@ class TestSparqlDifferential:
         if not rows:
             df = df.filter("subj <> 'zz'")
         q = {
-            "select": None, "distinct": False,
+            "select": None, "distinct": distinct,
             "patterns": required, "optional": list(optionals),
             "optional_groups": [], "filters": [
                 ("cmp", "?" + v, op, c) for v, op, c in filters
@@ -423,11 +471,15 @@ class TestSparqlDifferential:
             "order": [], "limit": None, "offset": None,
             "unions": [[([b], []) for b in union_block]] if union_block else [],
             "minus": [([minus_pat], [])] if minus_pat is not None else [],
-            "values": [],
+            "values": [values_spec] if values_spec is not None else [],
             "exists": [
                 (exists_spec[0], [exists_spec[1]], [])
             ] if exists_spec is not None else [],
-            "binds": [], "subqueries": [],
+            "binds": [
+                (nv, ("fn", "CONCAT", [("var", sv), ("lit", sfx)]))
+                for nv, sv, sfx in binds
+            ],
+            "subqueries": [],
         }
         sol, nullable = _solve_where(df, q)
         sol, _ = _finish_select(sol, q, nullable)
@@ -441,8 +493,8 @@ class TestSparqlDifferential:
             tuple(sorted(r.asDict().items())) for r in sol.collect()
         )
         want_rows = self._naive(
-            rows, required, optionals, union_block, minus_pat,
-            exists_spec, filters,
+            rows, required, optionals, union_block, values_spec,
+            minus_pat, exists_spec, binds, distinct, filters,
         )
         cols = set(sol.columns)
         want = keyed(
