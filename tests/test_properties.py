@@ -502,3 +502,121 @@ class TestSparqlDifferential:
             for b in want_rows
         )
         assert got == want, (rows, q, got, want)
+
+
+class TestPathDifferential:
+    """Differential testing of the property-path expansion: every path
+    form evaluated by the engine (sparql_query text → _expand_property_
+    paths) AND by a naive closure/composition evaluator, compared as
+    solution MULTISETS (closure forms are distinct-pair per SPARQL ALP
+    semantics; bag forms — inverse/alternation/negation/sequences —
+    preserve input multiplicity)."""
+
+    _SUBS = ["s0", "s1", "s2"]
+    _PREDS = ["p0", "p1"]
+    _OBJS = ["o0", "s0", "s1", "s2"]  # heavy overlap → real chains/cycles
+
+    @classmethod
+    def _naive_path(cls, rows, form):
+        def E(p):
+            return [(s, o) for s, pr, o in rows if pr == p]
+
+        terms = sorted({t for s, _, o in rows for t in (s, o)})
+        ident = [(t, t) for t in terms]
+
+        def close_set(pairs):
+            got = set(pairs)
+            while True:
+                new = {
+                    (a, d) for (a, b) in got for (c, d) in got if b == c
+                } - got
+                if not new:
+                    return sorted(got)
+                got |= new
+
+        def compose_set(e1, e2):
+            return sorted({
+                (a, d) for (a, b) in set(e1) for (c, d) in set(e2) if b == c
+            })
+
+        if form == "plus":
+            return "p0+", close_set(E("p0"))
+        if form == "star":
+            return "p0*", close_set(E("p0")) + ident
+        if form == "opt":
+            return "p0?", E("p0") + ident
+        if form == "inv":
+            return "^p0", [(o, s) for s, o in E("p0")]
+        if form == "alt":
+            return "p0|p1", [
+                (s, o) for s, p, o in rows if p in ("p0", "p1")
+            ]
+        if form == "neg":
+            return "!(p0)", [(s, o) for s, p, o in rows if p != "p0"]
+        if form == "seq":
+            return "p0/p1", [
+                (a, d) for a, b in E("p0") for c, d in E("p1") if b == c
+            ]
+        if form == "seqinv":
+            inv = [(o, s) for s, o in E("p0")]
+            return "^p0/p1", [
+                (a, d) for a, b in inv for c, d in E("p1") if b == c
+            ]
+        comp = compose_set(E("p0"), E("p1"))
+        if form == "gplus":
+            return "(p0/p1)+", close_set(comp)
+        if form == "gstar":
+            return "(p0/p1)*", close_set(comp) + ident
+        return "(p0/p1)?", comp + ident  # gopt
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_path_engine_equals_naive(self, spark, data):
+        from kgc.graph import sparql_query
+
+        draw = data.draw
+        rows = draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(self._SUBS),
+                    st.sampled_from(self._PREDS),
+                    st.sampled_from(self._OBJS),
+                ),
+                min_size=0, max_size=8,
+            )
+        )
+        form = draw(st.sampled_from([
+            "plus", "star", "opt", "inv", "alt", "neg", "seq", "seqinv",
+            "gplus", "gstar", "gopt",
+        ]))
+        path_txt, pairs = self._naive_path(rows, form)
+        s_t = draw(st.sampled_from(["?s", "s0", "s1"]))
+        o_t = draw(st.sampled_from(["?o", "o0", "s0"]))
+        if not s_t.startswith("?") and not o_t.startswith("?"):
+            o_t = "?o"  # keep >= 1 variable
+        df = spark.createDataFrame(
+            rows or [("zz", "zz", "zz")],
+            "subj string, pred string, obj string",
+        )
+        if not rows:
+            df = df.filter("subj <> 'zz'")
+        sol = sparql_query(
+            df, f"SELECT * WHERE {{ {s_t} {path_txt} {o_t} }}"
+        )
+        want = pairs
+        if not s_t.startswith("?"):
+            want = [(a, b) for a, b in want if a == s_t]
+        if not o_t.startswith("?"):
+            want = [(a, b) for a, b in want if b == o_t]
+        proj = []
+        for a, b in want:
+            row = {}
+            if s_t.startswith("?"):
+                row["s"] = a
+            if o_t.startswith("?"):
+                row["o"] = b
+            proj.append(tuple(sorted(row.items())))
+        got = sorted(
+            tuple(sorted(r.asDict().items())) for r in sol.collect()
+        )
+        assert got == sorted(proj), (rows, form, s_t, o_t, got, proj)
