@@ -620,3 +620,58 @@ class TestPathDifferential:
             tuple(sorted(r.asDict().items())) for r in sol.collect()
         )
         assert got == sorted(proj), (rows, form, s_t, o_t, got, proj)
+
+
+class TestAggregateDifferential:
+    """Differential testing of sparql_aggregate: random rows, one
+    grouped pattern, the full aggregate menu (incl. COUNT DISTINCT,
+    sorted GROUP_CONCAT with separator, an expression aggregate, and
+    HAVING) vs a naive per-group evaluator."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s0", "s1", "s2"]),
+                st.sampled_from(["p0", "p1"]),
+                st.sampled_from(["o0", "o1", "oo22"]),
+            ),
+            min_size=0, max_size=12,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_aggregate_engine_equals_naive(self, spark, rows, having):
+        from kgc.graph import sparql_aggregate
+
+        df = spark.createDataFrame(
+            rows or [("zz", "zz", "zz")],
+            "subj string, pred string, obj string",
+        )
+        if not rows:
+            df = df.filter("subj <> 'zz'")
+        text = (
+            "SELECT ?g (COUNT(?v) AS ?n) (COUNT(DISTINCT ?v) AS ?nd) "
+            "(MIN(?v) AS ?mn) (MAX(?v) AS ?mx) "
+            '(GROUP_CONCAT(?v; SEPARATOR=",") AS ?cc) '
+            "(SUM(STRLEN(?v)) AS ?sl) "
+            "WHERE { ?g p0 ?v } GROUP BY ?g"
+        )
+        if having:
+            text += " HAVING (?n >= 2)"
+        got = sorted(
+            (r.g, r.n, r.nd, r.mn, r.mx, r.cc, int(r.sl))
+            for r in sparql_aggregate(df, text).collect()
+        )
+        groups: dict = {}
+        for s, p, o in rows:
+            if p == "p0":
+                groups.setdefault(s, []).append(o)
+        want = sorted(
+            (
+                g, len(vs), len(set(vs)), min(vs), max(vs),
+                ",".join(sorted(vs)), sum(len(v) for v in vs),
+            )
+            for g, vs in groups.items()
+            if not having or len(vs) >= 2
+        )
+        assert got == want, (rows, got, want)
