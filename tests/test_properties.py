@@ -675,3 +675,83 @@ class TestAggregateDifferential:
             if not having or len(vs) >= 2
         )
         assert got == want, (rows, got, want)
+
+
+class TestSubqueryConstructDifferential:
+    """Differential coverage for the two remaining compiled forms:
+    aggregate subqueries joined into the outer group, and CONSTRUCT
+    template instantiation (NULL-dropping, RDF set semantics)."""
+
+    _ROWS = st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.sampled_from(["p0", "p1"]),
+            st.sampled_from(["o0", "o1", "s0"]),
+        ),
+        min_size=0, max_size=10,
+    )
+
+    @staticmethod
+    def _df(spark, rows):
+        df = spark.createDataFrame(
+            rows or [("zz", "zz", "zz")],
+            "subj string, pred string, obj string",
+        )
+        return df.filter("subj <> 'zz'") if not rows else df
+
+    @given(_ROWS)
+    @settings(max_examples=30, deadline=None)
+    def test_aggregate_subquery_equals_naive(self, spark, rows):
+        from kgc.graph import sparql_query
+
+        sol = sparql_query(
+            self._df(spark, rows),
+            "SELECT ?a ?v ?n WHERE { ?a p1 ?v "
+            "{ SELECT ?a (COUNT(?x) AS ?n) WHERE { ?a p0 ?x } "
+            "GROUP BY ?a } }",
+        ).collect()
+        got = sorted((r.a, r.v, r.n) for r in sol)
+        counts: dict = {}
+        for s, p, o in rows:
+            if p == "p0":
+                counts[s] = counts.get(s, 0) + 1
+        want = sorted(
+            (s, o, counts[s]) for s, p, o in rows
+            if p == "p1" and s in counts
+        )
+        assert got == want, (rows, got, want)
+
+    @given(_ROWS, st.booleans())
+    @settings(max_examples=30, deadline=None)
+    def test_construct_equals_naive(self, spark, rows, with_opt):
+        from kgc.graph import sparql_construct
+
+        text = "CONSTRUCT { ?a derived ?v . ?v origin ?a } WHERE { ?a p0 ?v"
+        if with_opt:
+            # optional var in the template: unmatched rows drop that
+            # instantiation (spec), matched ones emit it
+            text = (
+                "CONSTRUCT { ?a derived ?v . ?a extra ?w } "
+                "WHERE { ?a p0 ?v OPTIONAL { ?a p1 ?w }"
+            )
+        got = sorted(
+            (r.subj, r.pred, r.obj)
+            for r in sparql_construct(self._df(spark, rows), text + " }")
+            .collect()
+        )
+        base = [(s, o) for s, p, o in rows if p == "p0"]
+        trip = set()
+        if with_opt:
+            p1 = {}
+            for s, p, o in rows:
+                if p == "p1":
+                    p1.setdefault(s, []).append(o)
+            for a, v in base:
+                trip.add((a, "derived", v))
+                for w in p1.get(a, []):
+                    trip.add((a, "extra", w))
+        else:
+            for a, v in base:
+                trip.add((a, "derived", v))
+                trip.add((v, "origin", a))
+        assert got == sorted(trip), (rows, got, trip)
